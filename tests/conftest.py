@@ -1,0 +1,15 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so
+multi-chip sharding paths are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+CNR2000_BASENAME = "/root/reference/slow/it/unimi/dsi/webgraph/cnr-2000"
+
+
+def cnr2000_available() -> bool:
+    return os.path.exists(CNR2000_BASENAME + ".graph")

@@ -1,0 +1,87 @@
+"""Slow real-dataset regression against the in-repo cnr-2000 fixture
+(reference analog: slow/it/unimi/dsi/webgraph/BVGraphSlowTest et al.).
+
+cnr-2000 (325,557 nodes / 3,216,152 arcs) is the bit-exactness ground truth:
+the decoder must reproduce the Java-documented adjacency lists exactly, and —
+since our greedy encoder mirrors the reference's reference-selection and
+tie-breaking — re-encoding with the fixture's own parameters must reproduce
+the original ``.graph`` stream byte-for-byte.
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from conftest import CNR2000_BASENAME, cnr2000_available
+from webgraph_tpu.formats.bvgraph import BVGraph
+from webgraph_tpu.graph.csr import CSRGraph
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not cnr2000_available(), reason="cnr-2000 fixture not present"),
+]
+
+
+def load_truth_csr() -> CSRGraph:
+    cache = "/tmp/cnr-2000-truth.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return CSRGraph(d["offsets"], d["succ"])
+    with gzip.open(CNR2000_BASENAME + ".graph-txt.gz", "rt") as f:
+        n = int(next(f))
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        chunks = []
+        for x in range(n):
+            row = np.fromstring(next(f), dtype=np.int64, sep=" ") if False else np.array(next(f).split(), dtype=np.int64)
+            offsets[x + 1] = len(row)
+            chunks.append(row.astype(np.int32))
+    np.cumsum(offsets, out=offsets)
+    succ = np.concatenate(chunks)
+    np.savez(cache, offsets=offsets, succ=succ)
+    return CSRGraph(offsets, succ)
+
+
+@pytest.fixture(scope="module")
+def truth():
+    return load_truth_csr()
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return BVGraph.load(CNR2000_BASENAME)
+
+
+def test_full_sequential_decode(graph, truth):
+    offsets, succ = graph._to_csr_scalar()
+    np.testing.assert_array_equal(offsets, truth.offsets)
+    np.testing.assert_array_equal(succ, truth.succ)
+
+
+def test_random_access_sample(graph, truth):
+    rng = np.random.default_rng(0)
+    for x in rng.integers(0, graph.num_nodes(), size=500):
+        x = int(x)
+        np.testing.assert_array_equal(graph.successors(x), truth.successors(x))
+
+
+def test_reencode_byte_parity(truth, tmp_path):
+    """Re-encoding with the fixture's parameters must reproduce the original
+    Java-produced .graph stream byte-for-byte."""
+    basename = os.path.join(tmp_path, "cnr-re")
+    props = BVGraph.store(
+        truth, basename, window_size=7, max_ref_count=3, min_interval_length=3, zeta_k=3
+    )
+    with open(basename + ".graph", "rb") as f:
+        ours = f.read()
+    with open(CNR2000_BASENAME + ".graph", "rb") as f:
+        ref = f.read()
+    assert len(ours) == len(ref), f"stream size mismatch: {len(ours)} vs {len(ref)}"
+    assert ours == ref, "re-encoded stream differs from reference bytes"
+    with open(basename + ".offsets", "rb") as f:
+        ours_off = f.read()
+    with open(CNR2000_BASENAME + ".offsets", "rb") as f:
+        ref_off = f.read()
+    assert ours_off == ref_off, "offsets stream differs from reference bytes"
+    assert abs(float(props["bitsperlink"]) - 3.56) < 0.005
