@@ -440,7 +440,7 @@ def _chain_depth(ref):
 
 @functools.partial(jax.jit, static_argnames=("m", "total_blocks", "P", "E"))
 def _stage6_prepare(d, ref, block_count, blocks_flat, block_start, extra_count, m, total_blocks, P, E):
-    """Precompute the copy-arc machinery shared by all chain rounds:
+    """Precompute the copy-arc machinery for the chain rounds:
     per copy-arc (node, parent CSR position, keep flag) and per-node
     target slots."""
     n = d.shape[0]
@@ -479,33 +479,124 @@ def _stage6_prepare(d, ref, block_count, blocks_flat, block_start, extra_count, 
     return offsets, seg_node, parent_pos, keep
 
 
+@functools.partial(jax.jit, static_argnames=("n_rounds",))
+def _stage6_schedule(depth, seg_node, parent_pos, keep, extra_nodes, n_rounds):
+    """Order copy-arcs and extras by the chain depth of their node so each
+    round processes a contiguous slice (every arc is touched in exactly one
+    round).  Returns the reordered arrays and the per-round histograms."""
+    cd = depth[seg_node]
+    c_order = jnp.argsort(cd, stable=True).astype(I32)
+    seg_node_r = seg_node[c_order]
+    parent_pos_r = parent_pos[c_order]
+    keep_r = keep[c_order]
+    c_hist = jnp.bincount(cd, length=n_rounds)
+    ed = depth[extra_nodes]
+    e_order = jnp.argsort(ed, stable=True).astype(I32)
+    e_hist = jnp.bincount(ed, length=n_rounds)
+    return seg_node_r, parent_pos_r, keep_r, e_order, c_hist, e_hist
+
+
 @jax.jit
-def _stage7_round(out, depth, seg_node, parent_pos, keep, extra_nodes, extra_vals, offsets, d, t):
-    """One chain round: nodes at depth t gather their (already final)
-    parents' lists, mask, merge with extras by two-key sort, scatter."""
+def _round0_commit(out, extra_slice_nodes, extra_slice_vals, offsets):
+    """Round 0: depth-0 nodes' lists are exactly their extras (already
+    sorted by (node, value)); scatter straight into the CSR slots."""
     m = out.shape[0] - 1
-    kept_vals = out[parent_pos]
-    commit_copy = keep & (depth[seg_node] == t)
-    copy_nodes = jnp.where(commit_copy, seg_node, jnp.int32(2**30))
-    commit_extra = depth[extra_nodes] == t
-    ex_nodes = jnp.where(commit_extra, extra_nodes, jnp.int32(2**30))
-    all_nodes = jnp.concatenate([copy_nodes, ex_nodes])
-    all_vals = jnp.concatenate([kept_vals, extra_vals])
+    k = extra_slice_nodes.shape[0]
+    ranks = jnp.arange(k, dtype=I32)
+    grp_first = jnp.searchsorted(extra_slice_nodes, extra_slice_nodes, side="left").astype(I32)
+    tgt = offsets[extra_slice_nodes] + (ranks - grp_first)
+    return out.at[tgt].set(extra_slice_vals, mode="drop")
+
+
+@jax.jit
+def _roundt_commit(out, c_nodes, c_parent_pos, c_keep, e_nodes, e_vals, offsets):
+    """Round t>0: gather parent values for this round's copy-arcs, mask,
+    merge with this round's extras by two-key sort, scatter."""
+    m = out.shape[0] - 1
+    kept_vals = out[c_parent_pos]
+    copy_nodes = jnp.where(c_keep, c_nodes, jnp.int32(2**30))
+    all_nodes = jnp.concatenate([copy_nodes, e_nodes])
+    all_vals = jnp.concatenate([kept_vals, e_vals])
     all_nodes, all_vals = jax.lax.sort((all_nodes, all_vals), num_keys=2)
-    # target slot: offsets[node] + rank within node
     is_real = all_nodes < jnp.int32(2**30)
     ranks = jnp.arange(all_nodes.shape[0], dtype=I32)
-    # first flat index of each node's group: via searchsorted on sorted nodes
     grp_first = jnp.searchsorted(all_nodes, all_nodes, side="left").astype(I32)
     within = ranks - grp_first
-    tgt = jnp.where(is_real, offsets[jnp.minimum(all_nodes, d.shape[0] - 1)] + within, m)
-    out = out.at[tgt].set(jnp.where(is_real, all_vals, 0), mode="drop")
-    return out
+    nmax = offsets.shape[0] - 1
+    tgt = jnp.where(is_real, offsets[jnp.minimum(all_nodes, nmax - 1)] + within, m)
+    return out.at[tgt].set(jnp.where(is_real, all_vals, 0), mode="drop")
 
 
 # ----------------------------------------------------------------------
 # Orchestration
 # ----------------------------------------------------------------------
+
+
+def make_decode_fn(settings, sizes: dict, n: int, lanes: int = DEFAULT_LANES):
+    """Build a single jittable end-to-end decode function for a graph whose
+    static buffer sizes are known (from a prior :func:`decode_to_csr`).
+
+    Returns ``fn(words, bit_offsets) -> (csr_offsets, successors)`` — one
+    XLA program, no host synchronization inside.
+    """
+    s = settings
+    skey = (
+        s.outdegree_coding,
+        s.reference_coding,
+        s.block_count_coding,
+        s.block_coding,
+        s.residual_coding,
+        s.zeta_k,
+        s.window_size,
+        s.min_interval_length,
+    )
+
+    def fn(words, bit_offsets):
+        d, ref, block_count, pos, _, _ = _stage1(words, bit_offsets[:n], skey)
+        (blocks_flat, block_start, pos, copied, extra_count, int_count, _) = _stage2_blocks(
+            words, pos, block_count, d, ref, skey, lanes, sizes["total_blocks"],
+            n_items=sizes["n_items_blocks"],
+        )
+        lefts, lens, int_start, pos, residual_count, _, _ = _stage3_intervals(
+            words, pos, int_count, extra_count, skey, lanes, sizes["total_ints"],
+            n_items=sizes["n_items_ints"],
+        )
+        residuals, res_start = _stage4_residuals(
+            words, pos, residual_count, skey, lanes, sizes["total_res"],
+            n_items=sizes["n_items_res"],
+        )
+        extra_nodes, extra_vals = _stage5_extras(
+            lefts, lens, int_count, residuals, residual_count, res_start,
+            sizes["tot_int_arcs"], sizes["m"], sizes["total_ints"], sizes["total_res"],
+        )
+        depth, _ = _chain_depth(ref)
+        offsets, seg_node, parent_pos, keep = _stage6_prepare(
+            d, ref, block_count, blocks_flat, block_start, extra_count,
+            sizes["m"], sizes["total_blocks"], sizes["P"], 0,
+        )
+        n_rounds = sizes["max_depth"] + 1
+        seg_node_r, parent_pos_r, keep_r, e_order, _, _ = _stage6_schedule(
+            depth, seg_node, parent_pos, keep, extra_nodes, n_rounds
+        )
+        e_nodes_r = extra_nodes[e_order]
+        e_vals_r = extra_vals[e_order]
+        c_ofs = np.concatenate([[0], np.cumsum(sizes["c_hist"])]).astype(int)
+        e_ofs = np.concatenate([[0], np.cumsum(sizes["e_hist"])]).astype(int)
+        out = jnp.zeros(sizes["m"] + 1, dtype=I32)
+        out = _round0_commit(out, e_nodes_r[: e_ofs[1]], e_vals_r[: e_ofs[1]], offsets)
+        for t in range(1, n_rounds):
+            out = _roundt_commit(
+                out,
+                seg_node_r[c_ofs[t] : c_ofs[t + 1]],
+                parent_pos_r[c_ofs[t] : c_ofs[t + 1]],
+                keep_r[c_ofs[t] : c_ofs[t + 1]],
+                e_nodes_r[e_ofs[t] : e_ofs[t + 1]],
+                e_vals_r[e_ofs[t] : e_ofs[t + 1]],
+                offsets,
+            )
+        return offsets, out[: sizes["m"]]
+
+    return jax.jit(fn)
 
 
 def decode_to_csr(dg: DeviceGraph, lanes: int = DEFAULT_LANES, sizes: dict | None = None):
@@ -573,14 +664,37 @@ def decode_to_csr(dg: DeviceGraph, lanes: int = DEFAULT_LANES, sizes: dict | Non
     offsets, seg_node, parent_pos, keep = _stage6_prepare(
         d, ref, block_count, blocks_flat, block_start, extra_count, m, total_blocks, P, 0
     )
+    n_rounds = max_depth + 1
+    seg_node_r, parent_pos_r, keep_r, e_order, c_hist_dev, e_hist_dev = _stage6_schedule(
+        depth, seg_node, parent_pos, keep, extra_nodes, n_rounds
+    )
+    c_hist = sizes.get("c_hist")
+    if c_hist is None:
+        c_hist = tuple(int(x) for x in np.asarray(c_hist_dev))
+    e_hist = sizes.get("e_hist")
+    if e_hist is None:
+        e_hist = tuple(int(x) for x in np.asarray(e_hist_dev))
+    e_nodes_r = extra_nodes[e_order]
+    e_vals_r = extra_vals[e_order]
 
     out = jnp.zeros(m + 1, dtype=I32)
-    for t in range(0, max_depth + 1):
-        out = _stage7_round(
-            out, depth, seg_node, parent_pos, keep, extra_nodes, extra_vals, offsets, d, jnp.int32(t)
+    c_ofs = np.concatenate([[0], np.cumsum(c_hist)]).astype(int)
+    e_ofs = np.concatenate([[0], np.cumsum(e_hist)]).astype(int)
+    out = _round0_commit(out, e_nodes_r[: e_ofs[1]], e_vals_r[: e_ofs[1]], offsets)
+    for t in range(1, n_rounds):
+        out = _roundt_commit(
+            out,
+            seg_node_r[c_ofs[t] : c_ofs[t + 1]],
+            parent_pos_r[c_ofs[t] : c_ofs[t + 1]],
+            keep_r[c_ofs[t] : c_ofs[t + 1]],
+            e_nodes_r[e_ofs[t] : e_ofs[t + 1]],
+            e_vals_r[e_ofs[t] : e_ofs[t + 1]],
+            offsets,
         )
 
     return offsets, out[:m], {
+        "c_hist": c_hist,
+        "e_hist": e_hist,
         "total_blocks": total_blocks,
         "m": m,
         "total_ints": total_ints,

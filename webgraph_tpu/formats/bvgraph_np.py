@@ -29,8 +29,20 @@ from webgraph_tpu.bits import codes as C
 from webgraph_tpu.bits import vcodes as V
 
 
+def compute_sizes(g) -> dict:
+    """Host-side computation of the static buffer sizes the device decoder
+    needs (see bvgraph_jax.decode_to_csr) — a light scan of the stream."""
+    offsets, succ, sizes = _decode_impl(g, want_sizes=True)
+    return sizes
+
+
 def decode_to_csr(g) -> tuple[np.ndarray, np.ndarray]:
     """Decode a loaded BVGraph into ``(offsets, successors)`` CSR arrays."""
+    offsets, succ, _ = _decode_impl(g, want_sizes=False)
+    return offsets, succ
+
+
+def _decode_impl(g, want_sizes: bool):
     if g.bit_offsets is None:
         raise NotImplementedError("bulk vectorized decode requires the offsets index")
     s = g.settings
@@ -38,7 +50,7 @@ def decode_to_csr(g) -> tuple[np.ndarray, np.ndarray]:
     # sentinel words so 64-bit window peeks never run off the stream end
     words = np.concatenate([g._words, np.zeros(2, dtype=np.uint64)])
     if n == 0:
-        return np.zeros(n + 1, dtype=np.int64), np.zeros(0, dtype=np.int32)
+        return np.zeros(n + 1, dtype=np.int64), np.zeros(0, dtype=np.int32), {}
 
     read_outd = V.make_reader(s.outdegree_coding, s.zeta_k)
     read_ref = V.make_reader(s.reference_coding, s.zeta_k)
@@ -207,6 +219,27 @@ def decode_to_csr(g) -> tuple[np.ndarray, np.ndarray]:
         depth[promote] = depth[parent[promote]] + 1
         rounds += 1
 
+    if want_sizes:
+        n_rounds = int(depth.max()) + 1
+        dp = np.where(has_ref, d[np.maximum(parent, 0)], 0)
+        c_hist = tuple(int(dp[depth == t].sum()) for t in range(n_rounds))
+        e_hist = tuple(int(extra_count[depth == t].sum()) for t in range(n_rounds))
+        sizes = {
+            "total_blocks": int(block_start[-1]),
+            "m": int(offsets[-1]),
+            "total_ints": int(int_start[-1]),
+            "total_res": int(res_start[-1]),
+            "tot_int_arcs": int(int_len.sum()),
+            "max_depth": int(depth.max()),
+            "P": int(d[parent[has_ref]].sum()),
+            "n_items_blocks": int((block_count > 0).sum()),
+            "n_items_ints": int((int_count > 0).sum()),
+            "n_items_res": int((residual_count > 0).sum()),
+            "c_hist": c_hist,
+            "e_hist": e_hist,
+        }
+        return offsets, None, sizes
+
     # round 0: no-reference nodes — extras are the whole list
     for t in range(rounds + 1):
         nodes_t = np.flatnonzero((depth == t) & nonempty)
@@ -269,7 +302,7 @@ def decode_to_csr(g) -> tuple[np.ndarray, np.ndarray]:
         tgt = _ragged_positions(offsets[nodes_t], cnts)
         out[tgt] = all_vals
 
-    return offsets, out.astype(np.int32)
+    return offsets, out.astype(np.int32), None
 
 
 def _ragged_positions(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
