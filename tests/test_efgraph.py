@@ -1,0 +1,95 @@
+"""EFGraph format tests: round trips, skip pointers, adjacency queries."""
+
+import os
+
+import numpy as np
+import pytest
+
+from webgraph_tpu.bits.elias_fano import CumulativeSequence, EliasFanoMonotoneList
+from webgraph_tpu.formats.efgraph import EFGraph
+from webgraph_tpu.graph.builders import MutableGraph
+from webgraph_tpu.graph.csr import CSRGraph
+from webgraph_tpu.graph import immutable_graph
+
+from test_graph import assert_graph
+
+
+@pytest.mark.parametrize("n,p,seed", [(100, 0.05, 0), (200, 0.02, 1), (60, 0.2, 2)])
+def test_roundtrip(n, p, seed, tmp_path):
+    g = MutableGraph.erdos_renyi(n, p, seed=seed)
+    base = os.path.join(tmp_path, "ef")
+    EFGraph.store(g, base)
+    loaded = EFGraph.load(base)
+    assert loaded.num_nodes() == n
+    assert loaded.num_arcs() == g.num_arcs()
+    assert loaded == g
+    assert_graph(loaded)
+
+
+@pytest.mark.parametrize("log2q", [2, 4, 8])
+def test_skip_to(log2q, tmp_path):
+    rng = np.random.default_rng(5)
+    # one dense node to exercise skip pointers (needs > quantum zeros)
+    lists = [sorted(rng.choice(5000, size=800, replace=False).tolist())] + [
+        sorted(rng.choice(5000, size=rng.integers(0, 20), replace=False).tolist()) for _ in range(50)
+    ]
+    g = CSRGraph.from_lists(lists + [[] for _ in range(4949)])
+    base = os.path.join(tmp_path, "efq")
+    EFGraph.store(g, base, log2_quantum=log2q)
+    loaded = EFGraph.load(base)
+    END = 2**31 - 1
+    for x in [0, 1, 5, 20]:
+        succ = np.asarray(g.successors(x))
+        for bound in [0, 1, 17, 100, 1000, 2500, 4999, 5000]:
+            expect = int(succ[succ >= bound][0]) if (succ >= bound).any() else END
+            got = loaded.skip_to(x, bound)
+            assert got == expect, (x, bound, got, expect)
+    # has_arc
+    succ0 = np.asarray(g.successors(0))
+    for y in succ0[:10]:
+        assert loaded.has_arc(0, int(y))
+    assert not loaded.has_arc(0, int(next(v for v in range(5000) if v not in set(succ0.tolist()))))
+
+
+def test_empty_and_full_nodes(tmp_path):
+    g = CSRGraph.from_lists([[], list(range(50)), [], [49], []])
+    base = os.path.join(tmp_path, "efe")
+    EFGraph.store(g, base, upper_bound=50)
+    loaded = EFGraph.load(base)
+    assert loaded == g
+    assert loaded.outdegree(0) == 0
+    assert loaded.skip_to(0, 0) == 2**31 - 1
+    np.testing.assert_array_equal(loaded.successors(1), np.arange(50))
+
+
+def test_load_dispatch(tmp_path):
+    g = MutableGraph.erdos_renyi(40, 0.1, seed=3)
+    base = os.path.join(tmp_path, "efd")
+    EFGraph.store(g, base)
+    loaded = immutable_graph.load(base)
+    assert isinstance(loaded, EFGraph)
+    assert loaded == g
+
+
+def test_elias_fano_monotone_list():
+    rng = np.random.default_rng(0)
+    vals = np.sort(rng.integers(0, 10**6, size=1000))
+    ef = EliasFanoMonotoneList(vals)
+    assert len(ef) == 1000
+    np.testing.assert_array_equal(ef.get(np.arange(1000)), vals)
+    assert ef.successor_index(int(vals[500])) <= 500
+    # succinct size should beat raw 64-bit storage comfortably
+    assert ef.num_bits() < 64 * 1000
+
+
+def test_cumulative_sequence_skip_to():
+    counts = np.array([3, 0, 5, 2, 0, 7])
+    cs = CumulativeSequence(counts)
+    assert cs.skip_to(0) == 0
+    assert cs.skip_to(1) == 3
+    assert cs.current_index() == 1
+    assert cs.skip_to(4) == 8
+    assert cs.skip_to(8) == 8
+    assert cs.skip_to(9) == 10
+    assert cs.skip_to(17) == 17
+    assert cs.skip_to(18) == -1

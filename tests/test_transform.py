@@ -1,0 +1,183 @@
+"""Tests for graph views & transforms (reference analog: TransformTest)."""
+
+import numpy as np
+import pytest
+
+from webgraph_tpu.graph.builders import MutableGraph
+from webgraph_tpu.graph.csr import CSRGraph
+from webgraph_tpu.transform import (
+    transpose,
+    transpose_offline,
+    symmetrize,
+    symmetrize_offline,
+    simplify,
+    simplify_offline,
+    map_graph,
+    filter_arcs,
+    union,
+    compose,
+    line_graph,
+    remove_dangling,
+    gray_code_permutation,
+    host_by_host_gray_code_permutation,
+    lexicographical_permutation,
+    random_permutation,
+    NodeClassFilter,
+    ArcFilter,
+    ImmutableSubgraph,
+    DegreeRangeImmutableSubgraph,
+    BidirectionalImmutableGraph,
+    UnionImmutableGraph,
+)
+
+from test_graph import assert_graph
+
+
+@pytest.fixture
+def er():
+    return MutableGraph.erdos_renyi(80, 0.08, seed=42)
+
+
+def brute_arcs(g):
+    out = set()
+    for x in range(g.num_nodes()):
+        for y in g.successors(x):
+            out.add((x, int(y)))
+    return out
+
+
+def test_transpose(er):
+    t = transpose(er)
+    assert brute_arcs(t) == {(y, x) for x, y in brute_arcs(er)}
+    assert transpose(t) == CSRGraph.from_graph(er)
+    assert_graph(t)
+
+
+def test_transpose_offline_matches(er):
+    t1 = transpose(er)
+    t2 = transpose_offline(er, batch_size=64)
+    assert t1 == t2
+
+
+def test_symmetrize_simplify(er):
+    s = symmetrize(er)
+    arcs = brute_arcs(s)
+    assert all((y, x) in arcs for x, y in arcs)
+    assert symmetrize_offline(er, batch_size=128) == s
+    g2 = MutableGraph(5, arcs=[(0, 0), (0, 1), (1, 0), (2, 3)]).immutable_view()
+    si = simplify(g2)
+    assert (0, 0) not in brute_arcs(si)
+    assert (3, 2) in brute_arcs(si)
+    assert simplify_offline(g2, batch_size=16) == si
+
+
+def test_map_graph(er):
+    n = er.num_nodes()
+    # reverse permutation
+    perm = np.arange(n)[::-1].copy()
+    mapped = map_graph(er, perm)
+    assert brute_arcs(mapped) == {(n - 1 - x, n - 1 - y) for x, y in brute_arcs(er)}
+    # deletion: drop odd nodes
+    perm2 = np.where(np.arange(n) % 2 == 0, np.arange(n) // 2, -1)
+    dropped = map_graph(er, perm2)
+    expect = {(x // 2, y // 2) for x, y in brute_arcs(er) if x % 2 == 0 and y % 2 == 0}
+    assert brute_arcs(dropped) == expect
+
+
+def test_filter_arcs(er):
+    f = filter_arcs(er, ArcFilter(lambda s, t: t > s))
+    assert all(y > x for x, y in brute_arcs(f))
+    classes = np.arange(er.num_nodes()) % 3
+    fc = filter_arcs(er, NodeClassFilter(classes))
+    assert all(classes[x] == classes[y] for x, y in brute_arcs(fc))
+
+
+def test_union_compose():
+    a = MutableGraph(4, arcs=[(0, 1), (1, 2)]).immutable_view()
+    b = MutableGraph(4, arcs=[(1, 3), (0, 1)]).immutable_view()
+    u = union(a, b)
+    assert brute_arcs(u) == {(0, 1), (1, 2), (1, 3)}
+    lazy = UnionImmutableGraph(a, b)
+    assert CSRGraph.from_graph(lazy) == u
+    c = compose(a, b)
+    assert brute_arcs(c) == {(0, 3)}  # 0->1->3
+
+
+def test_compose_identity(er):
+    n = er.num_nodes()
+    ident = CSRGraph.from_arcs(np.arange(n), np.arange(n), n)
+    assert compose(er, ident) == CSRGraph.from_graph(er)
+    assert compose(ident, er) == CSRGraph.from_graph(er)
+
+
+def test_line_graph():
+    g = MutableGraph(3, arcs=[(0, 1), (1, 2), (2, 0)]).immutable_view()
+    lg, arcs = line_graph(g)
+    assert lg.num_nodes() == 3
+    assert brute_arcs(lg) == {(0, 1), (1, 2), (2, 0)}  # cycle stays a cycle
+
+
+def test_remove_dangling():
+    g = MutableGraph(4, arcs=[(0, 1), (1, 0), (2, 1)]).immutable_view()
+    r = remove_dangling(g)
+    assert r.num_nodes() == 3
+    # node 3 (dangling) removed; arcs into it would vanish too
+
+
+def test_permutations_improve_or_preserve(er):
+    csr = CSRGraph.from_graph(er)
+    for perm_fn in (gray_code_permutation, lexicographical_permutation):
+        perm = perm_fn(er)
+        assert sorted(perm.tolist()) == list(range(er.num_nodes()))
+        mapped = map_graph(er, perm)
+        assert mapped.num_arcs() == er.num_arcs()
+    rp = random_permutation(er, seed=7)
+    assert sorted(rp.tolist()) == list(range(er.num_nodes()))
+    hosts = np.arange(er.num_nodes()) // 10
+    for strict in (True, False):
+        hp = host_by_host_gray_code_permutation(er, hosts, strict)
+        assert sorted(hp.tolist()) == list(range(er.num_nodes()))
+
+
+def test_gray_order_property():
+    # after Gray permutation, consecutive rows should share prefixes often —
+    # weak check: adjacent identical rows must be adjacent in Gray order
+    g = CSRGraph.from_lists([[1, 2], [1, 2], [3], [1, 2], []])
+    perm = gray_code_permutation(g)
+    mapped_rows = sorted(range(5), key=lambda x: perm[x])
+    # the three identical rows should end up consecutive
+    pos = sorted(perm[x] for x in (0, 1, 3))
+    assert pos[2] - pos[0] == 2
+
+
+def test_subgraph(er):
+    nodes = np.arange(0, er.num_nodes(), 3)
+    sub = ImmutableSubgraph(er, nodes)
+    assert sub.num_nodes() == len(nodes)
+    for i in range(sub.num_nodes()):
+        assert sub.from_supergraph_node(sub.to_supergraph_node(i)) == i
+    expect = {
+        (int(np.searchsorted(nodes, x)), int(np.searchsorted(nodes, y)))
+        for x, y in brute_arcs(er)
+        if x in set(nodes.tolist()) and y in set(nodes.tolist())
+    }
+    assert brute_arcs(sub) == expect
+
+
+def test_degree_range_subgraph(er):
+    offsets, _ = er.to_csr()
+    d = np.diff(offsets)
+    sub = DegreeRangeImmutableSubgraph(er, 2, 5)
+    picked = np.flatnonzero((d >= 2) & (d < 5))
+    assert sub.num_nodes() == len(picked)
+
+
+def test_bidirectional(er):
+    bi = BidirectionalImmutableGraph(CSRGraph.from_graph(er), transpose(er))
+    x = 5
+    preds = sorted(int(s) for s, t in brute_arcs(er) if t == x)
+    np.testing.assert_array_equal(bi.predecessors(x), preds)
+    assert bi.indegree(x) == len(preds)
+    assert bi.transposed().successors(x).tolist() == preds
+    sym = bi.symmetrized()
+    assert CSRGraph.from_graph(sym.forward) == symmetrize(er)

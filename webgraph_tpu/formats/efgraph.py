@@ -1,0 +1,390 @@
+"""EFGraph — the quasi-succinct Elias-Fano graph format with skip pointers.
+
+Re-implements the reference format (EFGraph.java:78-890) from its documented
+layout: per node, the *longword* stream (64-bit words, bits filled LSB-first
+within each word; words serialized with a configurable byte order) holds
+
+  1. a nonzero-gamma-coded outdegree+1 (LongWordOutputBitStream.writeGamma,
+     EFGraph.java:398-410);
+  2. the Elias-Fano encoding of the successor list with upper bound ``u``
+     (usually n) and a fictional terminator at ``u`` (Accumulator.dump,
+     EFGraph.java:527-540), laid out as
+        [skip pointers] [lower bits] [upper bits]
+     with ``l = max(0, msb(u / (d+1)))`` lower bits per element, unary upper
+     gaps, and a skip pointer (of ``pointerSize = ceil(log2(d+1 + (u >> l)))``
+     bits) to one past the position of every (q*2^log2Quantum)-th ZERO in the
+     upper bits (Accumulator.add, EFGraph.java:509-525).
+
+The ``.offsets`` file is an MSB-first delta-coded stream of per-node bit
+lengths (first entry 0; EFGraph.java:825,852).
+
+The skip pointers give constant-time-ish ``skip_to`` (successor >= bound)
+queries — the adjacency-test primitive (EliasFanoSuccessorReader.skipTo,
+EFGraph.java:1147).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from webgraph_tpu.bits.bitstream import InputBitStream, OutputBitStream
+from webgraph_tpu.graph.immutable_graph import ImmutableGraph, NodeIterator
+from webgraph_tpu.graph.properties import load_properties, store_properties
+
+GRAPH_EXTENSION = ".graph"
+OFFSETS_EXTENSION = ".offsets"
+PROPERTIES_EXTENSION = ".properties"
+DEFAULT_LOG2_QUANTUM = 8
+_M64 = (1 << 64) - 1
+
+
+def _msb(x: int) -> int:
+    return x.bit_length() - 1
+
+
+def ef_lower_bits(length: int, upper_bound: int) -> int:
+    """EFGraph.lowerBits (EFGraph.java:145-147)."""
+    return 0 if length == 0 else max(0, _msb(upper_bound // length))
+
+
+def ef_pointer_size(length: int, upper_bound: int) -> int:
+    """EFGraph.pointerSize (EFGraph.java:156-158)."""
+    v = length + (upper_bound >> ef_lower_bits(length, upper_bound))
+    return max(0, (v - 1).bit_length() if v > 0 else 0)
+
+
+def ef_number_of_pointers(length: int, upper_bound: int, log2_quantum: int) -> int:
+    """EFGraph.numberOfPointers (EFGraph.java:168-171)."""
+    if length == 0:
+        return 0
+    return (upper_bound >> ef_lower_bits(length, upper_bound)) >> log2_quantum
+
+
+class LongWordWriter:
+    """LSB-first bit appender over 64-bit longwords
+    (reference LongWordOutputBitStream, EFGraph.java:298-418)."""
+
+    def __init__(self):
+        self.words: list[int] = []
+        self._buffer = 0
+        self._free = 64
+        self.length = 0  # bits appended
+
+    def append(self, value: int, width: int) -> int:
+        if width == 0:
+            return 0
+        value &= (1 << width) - 1
+        self._buffer |= (value << (64 - self._free)) & _M64
+        if width < self._free:
+            self._free -= width
+        else:
+            self.words.append(self._buffer)
+            if width == self._free:
+                self._buffer = 0
+                self._free = 64
+            else:
+                self._buffer = value >> self._free
+                self._free = 64 - width + self._free
+        self.length += width
+        return width
+
+    def append_bits(self, bits: list[tuple[int, int]]):
+        for v, w in bits:
+            self.append(v, w)
+
+    def write_unary(self, x: int) -> int:
+        while x >= 63:
+            self.append(0, 63)
+            x -= 63
+        return self.append(1 << x, x + 1)
+
+    def write_nonzero_gamma(self, value: int) -> int:
+        msb = _msb(value)
+        self.append(1 << msb, msb + 1)
+        self.append(value ^ (1 << msb), msb)
+        return 2 * msb + 1
+
+    def write_gamma(self, value: int) -> int:
+        return self.write_nonzero_gamma(value + 1)
+
+    def to_bytes(self, byte_order: str = "little") -> bytes:
+        words = list(self.words)
+        if self._free != 64:
+            words.append(self._buffer)
+        arr = np.array(words, dtype=np.uint64)
+        return arr.astype("<u8" if byte_order == "little" else ">u8").tobytes()
+
+
+class LongWordReader:
+    """LSB-first bit reader over a uint64 word array
+    (reference LongWordBitReader, EFGraph.java:892-1034)."""
+
+    __slots__ = ("words", "pos")
+
+    def __init__(self, words, position: int = 0):
+        self.words = words  # python list of ints
+        self.pos = position
+
+    def extract(self, width: int) -> int:
+        if width == 0:
+            return 0
+        i, off = divmod(self.pos, 64)
+        v = self.words[i] >> off
+        got = 64 - off
+        while got < width:
+            i += 1
+            v |= self.words[i] << got
+            got += 64
+        self.pos += width
+        return v & ((1 << width) - 1)
+
+    def read_unary(self) -> int:
+        count = 0
+        while True:
+            i, off = divmod(self.pos, 64)
+            w = self.words[i] >> off
+            if w:
+                z = (w & -w).bit_length() - 1  # count trailing zeros
+                self.pos += z + 1
+                return count + z
+            count += 64 - off
+            self.pos += 64 - off
+
+    def read_nonzero_gamma(self) -> int:
+        msb = self.read_unary()
+        return (1 << msb) | self.extract(msb)
+
+    def read_gamma(self) -> int:
+        return self.read_nonzero_gamma() - 1
+
+
+class EFGraph(ImmutableGraph):
+    def __init__(self, words, n, m, upper_bound, log2_quantum, bit_offsets, basename=None):
+        self._ef_words = words  # python list of ints (64-bit)
+        self._n = n
+        self._m = m
+        self.upper_bound = upper_bound
+        self.log2_quantum = log2_quantum
+        self.bit_offsets = bit_offsets
+        self._basename = basename
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def load(cls, basename: str | os.PathLike) -> "EFGraph":
+        props = load_properties(f"{basename}{PROPERTIES_EXTENSION}")
+        n = int(props["nodes"])
+        m = int(props["arcs"])
+        upper_bound = int(props.get("upperbound", n))
+        quantum = int(props["quantum"])
+        byte_order = "little" if props.get("byteorder", "LITTLE_ENDIAN") == "LITTLE_ENDIAN" else "big"
+        with open(f"{basename}{GRAPH_EXTENSION}", "rb") as f:
+            data = f.read()
+        pad = (-len(data)) % 8
+        data += b"\x00" * (pad + 16)
+        words = np.frombuffer(data, dtype="<u8" if byte_order == "little" else ">u8").tolist()
+        with open(f"{basename}{OFFSETS_EXTENSION}", "rb") as f:
+            ibs = InputBitStream(f.read())
+        offs = np.zeros(n + 1, dtype=np.int64)
+        acc = 0
+        for i in range(n + 1):
+            acc += ibs.read_long_delta()
+            offs[i] = acc
+        return cls(words, n, m, upper_bound, int(np.log2(quantum)), offs, str(basename))
+
+    load_mapped = load
+    load_offline = load
+    load_sequential = load
+
+    @classmethod
+    def store(
+        cls,
+        graph: ImmutableGraph,
+        basename: str | os.PathLike,
+        upper_bound: int | None = None,
+        log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+        byte_order: str = "little",
+    ) -> dict:
+        n = graph.num_nodes()
+        u = upper_bound if upper_bound is not None else n
+        writer = LongWordWriter()
+        offsets_obs = OutputBitStream()
+        offsets_obs.write_delta(0)
+        quantum = 1 << log2_quantum
+        m = 0
+        bits_outdegrees = 0
+        bits_successors = 0
+        it = graph.node_iterator()
+        while it.has_next():
+            it.next_int()
+            d = it.outdegree()
+            succ = it.successor_array()[:d]
+            m += d
+            start = writer.length
+            ob = writer.write_gamma(d)
+            bits_outdegrees += ob
+            # Elias-Fano of successors + terminator at u
+            length_c = d + 1  # corrected length (with terminator)
+            l = ef_lower_bits(length_c, u)
+            ptr_size = ef_pointer_size(length_c, u)
+            values = [int(v) for v in succ] + [u]
+            # upper-bit one positions; hi value of element i is one_pos[i]-i
+            one_pos = [(v >> l) + i for i, v in enumerate(values)]
+            hi_vals = [op - i for i, op in enumerate(one_pos)]
+            # skip pointers: pointer j = bit position of the zero with
+            # 0-based index (j+1)*quantum - 1, plus one (Accumulator.add,
+            # EFGraph.java:519-521). Total zeros in the upper bits = u >> l.
+            n_ptrs = ef_number_of_pointers(length_c, u, log2_quantum)
+            if ptr_size > 0 and n_ptrs > 0:
+                hv = np.asarray(hi_vals, dtype=np.int64)
+                for j in range(n_ptrs):
+                    z = (j + 1) * quantum - 1
+                    ones_before = int(np.searchsorted(hv, z, side="right"))
+                    writer.append(z + ones_before + 1, ptr_size)
+            if l > 0:
+                for v in values:
+                    writer.append(v & ((1 << l) - 1), l)
+            last = -1
+            for op in one_pos:
+                writer.write_unary(op - last - 1)
+                last = op
+            node_bits = writer.length - start
+            bits_successors += node_bits - ob
+            offsets_obs.write_delta(node_bits)
+        with open(f"{basename}{GRAPH_EXTENSION}", "wb") as f:
+            f.write(writer.to_bytes(byte_order))
+        with open(f"{basename}{OFFSETS_EXTENSION}", "wb") as f:
+            f.write(offsets_obs.to_bytes())
+        written_bits = ((writer.length + 63) // 64) * 64
+        props = {
+            "nodes": n,
+            "arcs": m,
+            "quantum": quantum,
+            "byteorder": "LITTLE_ENDIAN" if byte_order == "little" else "BIG_ENDIAN",
+            "bitsperlink": f"{written_bits / max(m, 1):.3f}",
+            "bitspernode": f"{written_bits / max(n, 1):.3f}",
+            "bitsforoutdegrees": bits_outdegrees,
+            "bitsforsuccessors": written_bits - bits_outdegrees,
+            "graphclass": "it.unimi.dsi.webgraph.EFGraph",
+            "version": 0,
+        }
+        if u != n:
+            props["upperbound"] = u
+        store_properties(f"{basename}{PROPERTIES_EXTENSION}", props, comment="EFGraph properties")
+        return props
+
+    # ------------------------------------------------------------------
+
+    def num_nodes(self) -> int:
+        return self._n
+
+    def num_arcs(self) -> int:
+        return self._m
+
+    def outdegree(self, x: int) -> int:
+        if not 0 <= x < self._n:
+            raise IndexError(f"node {x} out of range")
+        r = LongWordReader(self._ef_words, int(self.bit_offsets[x]))
+        return r.read_gamma()
+
+    def _reader(self, x: int):
+        """Return (outdegree, l, ptr_size, n_ptrs, ptr_bit_base, lower_base,
+        upper_base) for node x."""
+        r = LongWordReader(self._ef_words, int(self.bit_offsets[x]))
+        d = r.read_gamma()
+        length_c = d + 1
+        u = self.upper_bound
+        l = ef_lower_bits(length_c, u)
+        ptr_size = ef_pointer_size(length_c, u)
+        n_ptrs = ef_number_of_pointers(length_c, u, self.log2_quantum)
+        ptr_base = r.pos
+        lower_base = ptr_base + n_ptrs * ptr_size
+        upper_base = lower_base + length_c * l
+        return d, l, ptr_size, n_ptrs, ptr_base, lower_base, upper_base
+
+    def successors(self, x: int) -> np.ndarray:
+        d, l, ptr_size, n_ptrs, ptr_base, lower_base, upper_base = self._reader(x)
+        if d == 0:
+            return np.zeros(0, dtype=np.int32)
+        up = LongWordReader(self._ef_words, upper_base)
+        out = np.zeros(d, dtype=np.int64)
+        last = -1
+        for i in range(d):
+            last += up.read_unary() + 1
+            out[i] = (last - i) << l
+        if l > 0:
+            low = LongWordReader(self._ef_words, lower_base)
+            for i in range(d):
+                out[i] |= low.extract(l)
+        return out.astype(np.int32)
+
+    successor_array = successors
+
+    def skip_to(self, x: int, lower_bound: int) -> int:
+        """Least successor of x that is >= lower_bound, or 2^31-1 (END_OF_LIST)
+        if none — the adjacency primitive (EliasFanoSuccessorReader.skipTo)."""
+        END = 2**31 - 1
+        d, l, ptr_size, n_ptrs, ptr_base, lower_base, upper_base = self._reader(x)
+        if d == 0:
+            return END
+        if lower_bound >= self.upper_bound:
+            return END
+        zeroes_to_skip = lower_bound >> l
+        ones_seen = 0
+        zeros_seen = 0
+        position = 0  # bit cursor within the upper-bits area
+        k = zeroes_to_skip >> self.log2_quantum
+        if ptr_size > 0 and k > 0:
+            k = min(k, n_ptrs)
+            pr = LongWordReader(self._ef_words, ptr_base + (k - 1) * ptr_size)
+            position = pr.extract(ptr_size)  # one past the (k*q-1)-th zero
+            zeros_seen = k << self.log2_quantum
+            ones_seen = position - zeros_seen
+        up = LongWordReader(self._ef_words, upper_base + position)
+        i = ones_seen
+        while i < d:
+            gap = up.read_unary()
+            zeros_seen += gap
+            hi = zeros_seen  # zeros before this one == hi value of element i
+            if l > 0:
+                low = LongWordReader(self._ef_words, lower_base + i * l)
+                v = (hi << l) | low.extract(l)
+            else:
+                v = hi
+            if v >= lower_bound:
+                return int(v)
+            i += 1
+        return END
+
+    def has_arc(self, x: int, y: int) -> bool:
+        return self.skip_to(x, y) == y
+
+    def node_iterator(self, start: int = 0) -> NodeIterator:
+        g = self
+
+        class _It(NodeIterator):
+            def __init__(self, frm, bound=None):
+                self._next = frm
+                self._curr = frm - 1
+                self._bound = g._n if bound is None else min(bound, g._n)
+
+            def has_next(self):
+                return self._next < self._bound
+
+            def next_int(self):
+                self._curr = self._next
+                self._next += 1
+                return self._curr
+
+            def outdegree(self):
+                return g.outdegree(self._curr)
+
+            def successor_array(self):
+                return g.successors(self._curr)
+
+            def copy(self, upper_bound):
+                return _It(self._next, upper_bound)
+
+        return _It(start)
