@@ -408,11 +408,16 @@ class BVGraph(ImmutableGraph):
         if zeta_k != -1:
             s = replace(s, zeta_k=zeta_k)
 
-        n = graph.num_nodes()
         graph_obs = OutputBitStream()
         offsets_obs = OutputBitStream()
         stats = _CompressionStats()
 
+        try:
+            n_known = graph.num_nodes()
+        except (NotImplementedError, TypeError):
+            # sequential-only sources (e.g. IncrementalImmutableSequentialGraph)
+            n_known = None
+            num_shards = 1
         if num_shards <= 1:
             iterators = [graph.node_iterator()]
         else:
@@ -429,6 +434,7 @@ class BVGraph(ImmutableGraph):
         with open(f"{basename}{OFFSETS_EXTENSION}", "wb") as f:
             f.write(offsets_obs.to_bytes())
 
+        n = n_known if n_known is not None else stats.node_count
         m = stats.tot_links
         written = graph_obs.written_bits
         props: dict[str, object] = {
@@ -636,6 +642,7 @@ class _CompressionStats:
         self.tot_ref = 0
         self.tot_dist = 0
         self.last_offset = 0
+        self.node_count = 0
         # exponential gap histograms (reference updateBins, BVGraph.java:1940-1944)
         self.successor_gap_stats = np.zeros(33, dtype=np.int64)
         self.residual_gap_stats = np.zeros(33, dtype=np.int64)
@@ -874,6 +881,7 @@ def _compress_shard(
         curr_node = it.next_int()
         outd = it.outdegree()
         curr_index = curr_node % cbs
+        stats.node_count += 1
 
         _write_code(offsets_obs, s.offset_coding, s.zeta_k, graph_obs.written_bits - stats.last_offset)
         stats.last_offset = graph_obs.written_bits
