@@ -220,13 +220,22 @@ class BVGraph(ImmutableGraph):
         if os.path.exists(cache_path) and os.path.getmtime(cache_path) >= os.path.getmtime(off_path):
             return np.load(cache_path)
         with open(off_path, "rb") as f:
-            ibs = InputBitStream(f.read())
+            data = f.read()
         n = g.num_nodes()
-        deltas = np.zeros(n + 1, dtype=np.int64)
         coding, k = g.settings.offset_coding, g.settings.zeta_k
-        for i in range(n + 1):
-            deltas[i] = ibs.read(coding, k)
-        offsets = np.cumsum(deltas)
+        offsets = None
+        try:
+            from webgraph_tpu import native
+
+            offsets = native.decode_offsets(data, n + 1, coding, k)
+        except ImportError:
+            pass
+        if offsets is None:
+            ibs = InputBitStream(data)
+            deltas = np.zeros(n + 1, dtype=np.int64)
+            for i in range(n + 1):
+                deltas[i] = ibs.read(coding, k)
+            offsets = np.cumsum(deltas)
         try:
             np.save(cache_path, offsets)
         except OSError:
@@ -352,8 +361,19 @@ class BVGraph(ImmutableGraph):
         return _BVGraphNodeIterator(self, start)
 
     def to_csr(self) -> tuple[np.ndarray, np.ndarray]:
-        """Bulk decode. Prefers the vectorized NumPy lane-parallel decoder;
-        falls back to the scalar sequential path."""
+        """Bulk decode. Prefers the native C++ decoder, then the vectorized
+        NumPy lane-parallel decoder, then the scalar sequential path."""
+        try:
+            from webgraph_tpu import native
+            from webgraph_tpu.bits.bitstream import words_to_bytes
+
+            if native.available():
+                data = words_to_bytes(np.asarray(self._words), self._bit_length)
+                out = native.bvgraph_decode(data, self._n, self._m, self.settings)
+                if out is not None:
+                    return out
+        except ImportError:
+            pass
         try:
             from webgraph_tpu.formats import bvgraph_np
 
@@ -390,6 +410,7 @@ class BVGraph(ImmutableGraph):
         settings: BVGraphSettings | None = None,
         num_shards: int = 1,
         comment: str = "BVGraph properties",
+        use_native: bool | str = "auto",
     ) -> dict:
         """Compress ``graph`` to BVGraph files; returns the stats dict
         (mirrors BVGraph.store -> storeInternal, BVGraph.java:1679,2436-2650).
@@ -407,6 +428,13 @@ class BVGraph(ImmutableGraph):
             s = replace(s, min_interval_length=min_interval_length)
         if zeta_k != -1:
             s = replace(s, zeta_k=zeta_k)
+
+        if use_native == "auto" or use_native is True:
+            native_result = cls._store_native(graph, basename, s, num_shards, comment)
+            if native_result is not None:
+                return native_result
+            if use_native is True:
+                raise RuntimeError("native encoder unavailable")
 
         graph_obs = OutputBitStream()
         offsets_obs = OutputBitStream()
@@ -435,8 +463,57 @@ class BVGraph(ImmutableGraph):
             f.write(offsets_obs.to_bytes())
 
         n = n_known if n_known is not None else stats.node_count
+        return cls._write_properties(
+            basename, n, s, stats, graph_obs.written_bits, offsets_obs.written_bits, comment
+        )
+
+    @classmethod
+    def _store_native(cls, graph, basename, s, num_shards, comment) -> dict | None:
+        """Fast path: the native C++ encoder (byte-identical output).
+        Used for single-shard encodes when the library is available."""
+        if num_shards > 1:
+            return None
+        try:
+            from webgraph_tpu import native
+        except ImportError:
+            return None
+        if not native.available():
+            return None
+        try:
+            n = graph.num_nodes()
+        except (NotImplementedError, TypeError):
+            return None
+        offsets, succ = graph.to_csr()
+        out = native.bvgraph_encode(offsets, succ, s)
+        if out is None:
+            return None
+        graph_bytes, gbits, off_bytes, obits, raw = out
+        with open(f"{basename}{GRAPH_EXTENSION}", "wb") as f:
+            f.write(graph_bytes)
+        with open(f"{basename}{OFFSETS_EXTENSION}", "wb") as f:
+            f.write(off_bytes)
+        stats = _CompressionStats()
+        (
+            stats.bits_outdegrees,
+            stats.bits_references,
+            stats.bits_blocks,
+            stats.bits_intervals,
+            stats.bits_residuals,
+            stats.copied_arcs,
+            stats.intervalised_arcs,
+            stats.residual_arcs,
+            stats.tot_ref,
+            stats.tot_dist,
+        ) = (int(v) for v in raw[:10])
+        stats.successor_gap_stats = raw[10:43].copy()
+        stats.residual_gap_stats = raw[43:76].copy()
+        stats.tot_links = int(offsets[-1])
+        stats.node_count = n
+        return cls._write_properties(basename, n, s, stats, gbits, obits, comment)
+
+    @classmethod
+    def _write_properties(cls, basename, n, s, stats, written, offset_bits, comment) -> dict:
         m = stats.tot_links
-        written = graph_obs.written_bits
         props: dict[str, object] = {
             "version": 0,
             "graphclass": "it.unimi.dsi.webgraph.BVGraph",
@@ -466,7 +543,7 @@ class BVGraph(ImmutableGraph):
             "bitsforintervals": stats.bits_intervals,
             "bitsforresiduals": stats.bits_residuals,
             "graphbits": written,
-            "offsetbits": offsets_obs.written_bits,
+            "offsetbits": offset_bits,
             "successoravggap": f"{stats.successor_avg_gap():.3f}",
             "residualavggap": f"{stats.residual_avg_gap():.3f}",
             "successoravgloggap": f"{stats.successor_avg_log_gap():.3f}",
