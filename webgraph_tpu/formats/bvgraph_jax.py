@@ -207,15 +207,15 @@ def _stage2_blocks(words, pos, block_count, d, ref, skey, lanes, total_out, n_it
         active = state["remaining"] > 0
         v, newpos = read_blk(words, state["pos"])
         val = v + (state["off"] > 0).astype(I32)
-        tgt = jnp.where(active, state["base"] + state["off"], total_out)
-        out = out.at[tgt].set(jnp.where(active, val, 0), mode="drop")
+        tgt = jnp.where(active, state["base"] + state["off"], out.shape[0])
+        out = out.at[tgt].set(val, mode="drop", unique_indices=True)
         state = dict(state)
         state["pos"] = jnp.where(active, newpos, state["pos"])
         state["remaining"] = jnp.where(active, state["remaining"] - 1, 0)
         state["off"] = jnp.where(active, state["off"] + 1, state["off"])
         done_now = active & (state["remaining"] == 0)
         end_pos = end_pos.at[jnp.where(done_now, state["node"], n)].set(
-            jnp.where(done_now, state["pos"], 0), mode="drop"
+            state["pos"], mode="drop", unique_indices=True
         )
         return state, (out, end_pos)
 
@@ -300,9 +300,9 @@ def _stage3_intervals(words, pos, int_count, extra_count, skey, lanes, total_out
         )
         ln_raw, p2 = J.read_gamma(words, p)
         ln = ln_raw + minint
-        tgt = jnp.where(active, state["base"] + state["off"], total_out)
-        lefts = lefts.at[tgt].set(jnp.where(active, left, 0), mode="drop")
-        lens = lens.at[tgt].set(jnp.where(active, ln, 0), mode="drop")
+        tgt = jnp.where(active, state["base"] + state["off"], lefts.shape[0])
+        lefts = lefts.at[tgt].set(left, mode="drop", unique_indices=True)
+        lens = lens.at[tgt].set(ln, mode="drop", unique_indices=True)
         state = dict(state)
         state["pos"] = jnp.where(active, p2, state["pos"])
         state["remaining"] = jnp.where(active, state["remaining"] - 1, 0)
@@ -310,7 +310,7 @@ def _stage3_intervals(words, pos, int_count, extra_count, skey, lanes, total_out
         state["prev"] = jnp.where(active, left + ln, state["prev"])
         done_now = active & (state["remaining"] == 0)
         end_pos = end_pos.at[jnp.where(done_now, state["node"], n)].set(
-            jnp.where(done_now, state["pos"], 0), mode="drop"
+            state["pos"], mode="drop", unique_indices=True
         )
         return state, (lefts, lens, end_pos)
 
@@ -369,8 +369,8 @@ def _stage4_residuals(words, pos, residual_count, skey, lanes, total_out, n_item
         v, newpos = read_u(words, state["pos"])
         first = state["off"] == 0
         val = jnp.where(first, state["node"] + J.nat2int_u(v), state["prev"] + v.astype(I32) + 1)
-        tgt = jnp.where(active, state["base"] + state["off"], total_out)
-        out = out.at[tgt].set(jnp.where(active, val, 0), mode="drop")
+        tgt = jnp.where(active, state["base"] + state["off"], out.shape[0])
+        out = out.at[tgt].set(val, mode="drop", unique_indices=True)
         state = dict(state)
         state["pos"] = jnp.where(active, newpos, state["pos"])
         state["remaining"] = jnp.where(active, state["remaining"] - 1, 0)
@@ -505,7 +505,7 @@ def _round0_commit(out, extra_slice_nodes, extra_slice_vals, offsets):
     ranks = jnp.arange(k, dtype=I32)
     grp_first = jnp.searchsorted(extra_slice_nodes, extra_slice_nodes, side="left").astype(I32)
     tgt = offsets[extra_slice_nodes] + (ranks - grp_first)
-    return out.at[tgt].set(extra_slice_vals, mode="drop")
+    return out.at[tgt].set(extra_slice_vals, mode="drop", unique_indices=True)
 
 
 @jax.jit
@@ -523,8 +523,8 @@ def _roundt_commit(out, c_nodes, c_parent_pos, c_keep, e_nodes, e_vals, offsets)
     grp_first = jnp.searchsorted(all_nodes, all_nodes, side="left").astype(I32)
     within = ranks - grp_first
     nmax = offsets.shape[0] - 1
-    tgt = jnp.where(is_real, offsets[jnp.minimum(all_nodes, nmax - 1)] + within, m)
-    return out.at[tgt].set(jnp.where(is_real, all_vals, 0), mode="drop")
+    tgt = jnp.where(is_real, offsets[jnp.minimum(all_nodes, nmax - 1)] + within, out.shape[0])
+    return out.at[tgt].set(all_vals, mode="drop", unique_indices=True)
 
 
 # ----------------------------------------------------------------------
