@@ -264,3 +264,27 @@ def test_betweenness(er):
     expect = nx.betweenness_centrality(G, normalized=False)
     for x in range(er.num_nodes()):
         assert abs(bc.betweenness[x] - expect[x]) < 1e-6, x
+
+
+def test_topk_cutclos_pruned_matches_exact():
+    """CutClos pruned BFS (reference TopKGeometricCentrality BFSCut) must
+    return the same top-k values as exact computation, for every supported
+    centrality, while actually pruning visits."""
+    from webgraph_tpu.algo.centralities import reachability_bounds
+    from webgraph_tpu.algo.bfs import bfs_distances
+    from webgraph_tpu.graph.builders import MutableGraph
+    from webgraph_tpu.graph.csr import CSRGraph
+
+    g = MutableGraph.erdos_renyi(300, 0.01, seed=9)
+    c = CSRGraph.from_graph(g)
+    rl, ru = reachability_bounds(g)
+    for v in range(0, 300, 23):
+        true = int((bfs_distances(c, v) >= 0).sum())
+        assert rl[v] <= true <= ru[v]
+    for cent in ["HARMONIC", "LIN", "EXPONENTIAL"]:
+        fast = TopKGeometricCentrality.compute(g, 7, cent)
+        exact = TopKGeometricCentrality.compute_exact(g, 7, cent)
+        np.testing.assert_allclose(
+            np.sort(fast.centrality), np.sort(exact.centrality), rtol=1e-12
+        )
+        assert fast.pruned > 0

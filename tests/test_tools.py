@@ -200,3 +200,19 @@ def test_cli_end_to_end(er, tmp_path):
     cli.main(["dot", base, str(tmp_path / "g.dot")])
     cli.main(["ascii", base, str(tmp_path / "g2.txt")])
     assert ASCIIGraph.load(str(tmp_path / "g2.txt")) == er
+
+
+def test_cosin_graph(er, tmp_path):
+    from webgraph_tpu.formats.binary import CosinGraph
+
+    base = os.path.join(tmp_path, "cosin")
+    CosinGraph.store(er, base)
+    assert CosinGraph.num_nodes(base) == er.num_nodes()
+    loaded = CosinGraph.load_offline(base)
+    assert loaded == er
+    # .info layout: 6 native int32s/node, slot 1 = outdegree, slot 0 = indegree
+    import numpy as np
+
+    info = np.fromfile(base + ".info", dtype=np.int32).reshape(-1, 6)
+    assert int(info[:, 1].sum()) == er.num_arcs()
+    assert int(info[:, 0].sum()) == er.num_arcs()

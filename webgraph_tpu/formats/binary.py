@@ -148,3 +148,61 @@ def webbase_to_graph(lines, n: int | None = None) -> tuple[CSRGraph, list[str]]:
     else:
         g = CSRGraph.from_lists([[] for _ in range(num)])
     return g, list(ids.keys())
+
+
+class CosinGraph:
+    """Legacy COSIN graph importer (reference cosin/CosinGraph.java:47).
+
+    Two files: ``basename.info`` holds one 6-int32 record per node in
+    *native* byte order — (indegree, outdegree, _, _, _, succ-offset) — of
+    which the reference iterator only consumes slot 1 (outdegree,
+    CosinGraph.java:103-109); ``basename.succ`` holds every node's
+    successors as contiguous native int32s in node order
+    (CosinGraph.java:126-147).  The reference exposes this offline-only
+    (sequential iteration, no random access; load() throws,
+    CosinGraph.java:186-189); here the importer streams both files into a
+    CSR graph, which then supports the full ImmutableGraph surface.
+    """
+
+    @staticmethod
+    def num_nodes(basename) -> int:
+        import os
+
+        return os.path.getsize(str(basename) + ".info") // (6 * 4)
+
+    @staticmethod
+    def load_offline(basename) -> CSRGraph:
+        info = np.fromfile(str(basename) + ".info", dtype=np.int32).reshape(-1, 6)
+        succ = np.fromfile(str(basename) + ".succ", dtype=np.int32)
+        outd = info[:, 1].astype(np.int64)
+        if int(outd.sum()) != len(succ):
+            raise ValueError(
+                f"COSIN successor file length {len(succ)} != sum of outdegrees {int(outd.sum())}"
+            )
+        offsets = np.zeros(len(outd) + 1, dtype=np.int64)
+        np.cumsum(outd, out=offsets[1:])
+        return CSRGraph(offsets, succ.astype(np.int32))
+
+    # The reference has no writer; this one exists so pipelines (and tests)
+    # can round-trip through the legacy layout.
+    @staticmethod
+    def store(graph, basename) -> None:
+        n = graph.num_nodes()
+        info = np.zeros((n, 6), dtype=np.int32)
+        succ_parts = []
+        offset = 0
+        it = graph.node_iterator()
+        indeg = np.zeros(n, dtype=np.int32)
+        while it.has_next():
+            x = it.next_int()
+            s = np.asarray(it.successor_array()[: it.outdegree()], dtype=np.int32)
+            info[x, 1] = len(s)
+            info[x, 5] = offset
+            offset += len(s)
+            succ_parts.append(s)
+            np.add.at(indeg, s, 1)
+        info[:, 0] = indeg
+        info.tofile(str(basename) + ".info")
+        (np.concatenate(succ_parts) if succ_parts else np.zeros(0, np.int32)).tofile(
+            str(basename) + ".succ"
+        )
