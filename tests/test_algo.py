@@ -288,3 +288,24 @@ def test_topk_cutclos_pruned_matches_exact():
             np.sort(fast.centrality), np.sort(exact.centrality), rtol=1e-12
         )
         assert fast.pruned > 0
+
+
+def test_hyperball_checkpoint_resume(tmp_path, er):
+    """A resumed run continues bit-exactly from the checkpoint
+    (SURVEY §5.4: explicit register-array checkpointing)."""
+    t = transpose(er)
+    a = HyperBall(er, transpose=t, log2m=4, seed=11, do_sum_of_distances=True)
+    a.iterate()
+    a.iterate()
+    ckpt = tmp_path / "hb.npz"
+    a.checkpoint(ckpt)
+    # continue the original
+    a.iterate()
+    # resume a fresh instance and continue the same step
+    b = HyperBall(er, transpose=t, log2m=4, seed=0, do_sum_of_distances=True)
+    b.restore(ckpt)
+    assert b.iteration == 2
+    b.iterate()
+    np.testing.assert_array_equal(a.counters.registers, b.counters.registers)
+    assert a.neighbourhood_function == b.neighbourhood_function
+    np.testing.assert_allclose(a.sum_of_distances, b.sum_of_distances)

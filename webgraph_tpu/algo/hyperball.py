@@ -165,6 +165,57 @@ class HyperBall:
                     break
         return self.neighbourhood_function
 
+    # -- checkpoint / resume ---------------------------------------------
+    # The reference has no mid-computation checkpointing (SURVEY §5.4): its
+    # restartability is artifact-per-stage.  Here the whole HyperBall state
+    # is a handful of arrays, so a checkpoint is a single .npz; a restarted
+    # run continues exactly (same registers -> same estimates).
+
+    def checkpoint(self, path) -> None:
+        """Persist the complete iteration state to ``path`` (.npz)."""
+        np.savez_compressed(
+            path,
+            registers=self.counters.registers,
+            iteration=np.int64(self.iteration),
+            modified=self.modified,
+            neighbourhood_function=np.asarray(self.neighbourhood_function, dtype=np.float64),
+            current=self._current,
+            log2m=np.int64(self.log2m),
+            seed=np.int64(self.seed),
+            sum_of_distances=(
+                self.sum_of_distances if self.sum_of_distances is not None else np.zeros(0)
+            ),
+            sum_of_inverse_distances=(
+                self.sum_of_inverse_distances
+                if self.sum_of_inverse_distances is not None
+                else np.zeros(0)
+            ),
+            discounted=np.stack(self.discounted_centralities)
+            if self.discounted_centralities
+            else np.zeros((0, self.n)),
+        )
+
+    def restore(self, path) -> None:
+        """Resume from a checkpoint written by :meth:`checkpoint` (the graph
+        and configuration must match)."""
+        with np.load(path) as z:
+            if int(z["log2m"]) != self.log2m:
+                raise ValueError("checkpoint log2m mismatch")
+            if z["registers"].shape != self.counters.registers.shape:
+                raise ValueError("checkpoint register shape mismatch")
+            self.seed = int(z["seed"])
+            self.counters.registers = z["registers"].copy()
+            self.iteration = int(z["iteration"])
+            self.modified = z["modified"].copy()
+            self.neighbourhood_function = [float(v) for v in z["neighbourhood_function"]]
+            self._current = z["current"].copy()
+            if self.sum_of_distances is not None and len(z["sum_of_distances"]):
+                self.sum_of_distances = z["sum_of_distances"].copy()
+            if self.sum_of_inverse_distances is not None and len(z["sum_of_inverse_distances"]):
+                self.sum_of_inverse_distances = z["sum_of_inverse_distances"].copy()
+            if self.discounted_centralities and len(z["discounted"]):
+                self.discounted_centralities = [row.copy() for row in z["discounted"]]
+
     # -- derived outputs ------------------------------------------------
 
     def closeness_centrality(self) -> np.ndarray:

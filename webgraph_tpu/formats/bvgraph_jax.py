@@ -119,14 +119,19 @@ def _stage1(words, start_pos, skey):
 # ----------------------------------------------------------------------
 
 
-def _queue_loop(n_items, init_lane, step_fn, pull_fn, carry_init, lanes, unroll=1):
-    """Work-queue driver: each while_loop trip runs ``unroll`` decode steps
-    per lane, then retires finished lanes and pulls new items. Unrolling
-    amortizes the (substantial) per-trip dispatch cost over many codes."""
+def _queue_loop(lo, hi, init_lane, step_fn, pull_fn, carry_init, lanes, unroll=1):
+    """Work-queue driver over items [lo, hi): each while_loop trip runs
+    ``unroll`` decode steps per lane, then retires finished lanes and pulls
+    new items.  Unrolling amortizes the per-trip dispatch cost over many
+    codes.  Callers split skewed workloads into a narrow-lane tier for the
+    few heavy items and a wide-lane tier for the bulk (the TPU analog of
+    the reference's arc-balanced chunking, HyperBall.java:849-873): total
+    gather traffic per tier is ~ lanes x max_item_count, so heavy items run
+    with few lanes and the bulk with many."""
 
     def cond(st):
         head, state, carry = st
-        return (head < n_items) | jnp.any(state["remaining"] > 0)
+        return (head < hi) | jnp.any(state["remaining"] > 0)
 
     def body(st):
         head, state, carry = st
@@ -135,21 +140,21 @@ def _queue_loop(n_items, init_lane, step_fn, pull_fn, carry_init, lanes, unroll=
         finished = (state["remaining"] == 0) & state["live"]
         ranks = jnp.cumsum(finished.astype(I32)) - finished.astype(I32)
         new_item = head + ranks
-        valid = finished & (new_item < n_items)
+        valid = finished & (new_item < hi)
         state = pull_fn(state, new_item, valid)
         state["live"] = (state["live"] & (state["remaining"] > 0)) | valid
         head = head + jnp.sum(finished.astype(I32))
         return head, state, carry
 
-    lane_ids = jnp.arange(lanes, dtype=I32)
+    lane_ids = lo + jnp.arange(lanes, dtype=I32)
     state0 = init_lane(lane_ids)
-    head0 = jnp.minimum(jnp.int32(lanes), jnp.int32(n_items))
+    head0 = jnp.minimum(jnp.int32(lo + lanes), jnp.int32(hi))
     _, state, carry = jax.lax.while_loop(cond, body, (head0, state0, carry_init))
     return carry
 
 
-def _item_state(i, n_items, starts, counts, bases, nodes):
-    in_range = i < n_items
+def _item_state(i, hi, starts, counts, bases, nodes):
+    in_range = i < hi
     ii = jnp.where(in_range, i, 0)
     return {
         "item": ii,
@@ -165,8 +170,8 @@ def _item_state(i, n_items, starts, counts, bases, nodes):
     }
 
 
-def _pull(state, new_item, valid, n_items, starts, counts, bases, nodes):
-    ii = jnp.where(valid, jnp.minimum(new_item, n_items - 1), 0)
+def _pull(state, new_item, valid, hi, starts, counts, bases, nodes):
+    ii = jnp.where(valid, jnp.minimum(new_item, hi - 1), 0)
     state = dict(state)
     state["item"] = jnp.where(valid, ii, state["item"])
     state["pos"] = jnp.where(valid, starts[ii], state["pos"])
@@ -178,13 +183,37 @@ def _pull(state, new_item, valid, n_items, starts, counts, bases, nodes):
     return state
 
 
+def _heavy_lanes(n_heavy: int) -> int:
+    """Lane count for the heavy tier: just enough to host every heavy item
+    at once (rounded up to the 128-lane vector width)."""
+    return max(128, ((n_heavy + 127) // 128) * 128)
+
+
+def _run_tiers(n_items, n_heavy, lanes, unroll, init_for, step, pull_for, carry):
+    """Run the narrow heavy tier (items [0, n_heavy), largest first) then
+    the wide bulk tier (items [n_heavy, n_items)).  ``init_for(hi)`` /
+    ``pull_for(hi)`` build the closures bounded to each tier's item range."""
+    if n_heavy > 0:
+        hl = min(_heavy_lanes(n_heavy), lanes)
+        carry = _queue_loop(0, n_heavy, init_for(n_heavy), step, pull_for(n_heavy), carry, hl, unroll)
+    if n_items > n_heavy:
+        carry = _queue_loop(
+            n_heavy, n_items, init_for(n_items), step, pull_for(n_items), carry, lanes, unroll
+        )
+    return carry
+
+
 # ----------------------------------------------------------------------
 # Stage 2: copy blocks (work queue, device)
 # ----------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("skey", "lanes", "total_out", "n_items", "unroll"))
-def _stage2_blocks(words, pos, block_count, d, ref, skey, lanes, total_out, n_items=None, unroll=4):
+@functools.partial(
+    jax.jit, static_argnames=("skey", "lanes", "total_out", "n_items", "unroll", "n_heavy")
+)
+def _stage2_blocks(
+    words, pos, block_count, d, ref, skey, lanes, total_out, n_items=None, unroll=4, n_heavy=0
+):
     """Decode all copy-block lists; returns (blocks_flat, block_start,
     pos_after, copied, extra_count, interval-gated cursor updates)."""
     (_o, _r, _bc, blk_c, _res, zeta_k, _w, minint) = skey
@@ -199,8 +228,8 @@ def _stage2_blocks(words, pos, block_count, d, ref, skey, lanes, total_out, n_it
     starts = pos[order]
     bases = block_start[order]
 
-    def init_lane(i):
-        return _item_state(i, n_items, starts, counts, bases, order)
+    def init_for(hi):
+        return lambda i: _item_state(i, hi, starts, counts, bases, order)
 
     def step(state, carry):
         out, end_pos = carry
@@ -219,13 +248,17 @@ def _stage2_blocks(words, pos, block_count, d, ref, skey, lanes, total_out, n_it
         )
         return state, (out, end_pos)
 
-    def pull(state, new_item, valid):
-        return _pull(state, new_item, valid, n_items, starts, counts, bases, order)
+    def pull_for(hi):
+        return lambda state, new_item, valid: _pull(
+            state, new_item, valid, hi, starts, counts, bases, order
+        )
 
     if n_items > 0:
         out0 = jnp.zeros(total_out + 1, dtype=I32)
         endpos0 = jnp.zeros(n, dtype=I32)
-        blocks_flat, end_pos = _queue_loop(n_items, init_lane, step, pull, (out0, endpos0), lanes, unroll)
+        blocks_flat, end_pos = _run_tiers(
+            n_items, n_heavy, lanes, unroll, init_for, step, pull_for, (out0, endpos0)
+        )
         blocks_flat = blocks_flat[:total_out]
     else:
         blocks_flat = jnp.zeros(total_out, dtype=I32)
@@ -275,8 +308,12 @@ def _stage2_blocks(words, pos, block_count, d, ref, skey, lanes, total_out, n_it
 # ----------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("skey", "lanes", "total_out", "n_items", "unroll"))
-def _stage3_intervals(words, pos, int_count, extra_count, skey, lanes, total_out, n_items=None, unroll=2):
+@functools.partial(
+    jax.jit, static_argnames=("skey", "lanes", "total_out", "n_items", "unroll", "n_heavy")
+)
+def _stage3_intervals(
+    words, pos, int_count, extra_count, skey, lanes, total_out, n_items=None, unroll=2, n_heavy=0
+):
     (_o, _r, _bc, _blk, _res, zeta_k, _w, minint) = skey
     n = pos.shape[0]
     if n_items is None:
@@ -287,8 +324,8 @@ def _stage3_intervals(words, pos, int_count, extra_count, skey, lanes, total_out
     starts = pos[order]
     bases = int_start[order]
 
-    def init_lane(i):
-        return _item_state(i, n_items, starts, counts, bases, order)
+    def init_for(hi):
+        return lambda i: _item_state(i, hi, starts, counts, bases, order)
 
     def step(state, carry):
         lefts, lens, end_pos = carry
@@ -314,15 +351,17 @@ def _stage3_intervals(words, pos, int_count, extra_count, skey, lanes, total_out
         )
         return state, (lefts, lens, end_pos)
 
-    def pull(state, new_item, valid):
-        return _pull(state, new_item, valid, n_items, starts, counts, bases, order)
+    def pull_for(hi):
+        return lambda state, new_item, valid: _pull(
+            state, new_item, valid, hi, starts, counts, bases, order
+        )
 
     if n_items > 0:
         lefts0 = jnp.zeros(total_out + 1, dtype=I32)
         lens0 = jnp.zeros(total_out + 1, dtype=I32)
         endpos0 = jnp.zeros(n, dtype=I32)
-        lefts, lens, end_pos = _queue_loop(
-            n_items, init_lane, step, pull, (lefts0, lens0, endpos0), lanes, unroll
+        lefts, lens, end_pos = _run_tiers(
+            n_items, n_heavy, lanes, unroll, init_for, step, pull_for, (lefts0, lens0, endpos0)
         )
         lefts, lens = lefts[:total_out], lens[:total_out]
     else:
@@ -348,8 +387,12 @@ def _stage3_intervals(words, pos, int_count, extra_count, skey, lanes, total_out
 # ----------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("skey", "lanes", "total_out", "n_items", "unroll"))
-def _stage4_residuals(words, pos, residual_count, skey, lanes, total_out, n_items=None, unroll=8):
+@functools.partial(
+    jax.jit, static_argnames=("skey", "lanes", "total_out", "n_items", "unroll", "n_heavy")
+)
+def _stage4_residuals(
+    words, pos, residual_count, skey, lanes, total_out, n_items=None, unroll=8, n_heavy=0
+):
     (_o, _r, _bc, _blk, res_c, zeta_k, _w, _mi) = skey
     n = pos.shape[0]
     if n_items is None:
@@ -361,8 +404,8 @@ def _stage4_residuals(words, pos, residual_count, skey, lanes, total_out, n_item
     starts = pos[order]
     bases = res_start[order]
 
-    def init_lane(i):
-        return _item_state(i, n_items, starts, counts, bases, order)
+    def init_for(hi):
+        return lambda i: _item_state(i, hi, starts, counts, bases, order)
 
     def step(state, out):
         active = state["remaining"] > 0
@@ -378,12 +421,14 @@ def _stage4_residuals(words, pos, residual_count, skey, lanes, total_out, n_item
         state["prev"] = jnp.where(active, val, state["prev"])
         return state, out
 
-    def pull(state, new_item, valid):
-        return _pull(state, new_item, valid, n_items, starts, counts, bases, order)
+    def pull_for(hi):
+        return lambda state, new_item, valid: _pull(
+            state, new_item, valid, hi, starts, counts, bases, order
+        )
 
     if n_items > 0:
         out0 = jnp.zeros(total_out + 1, dtype=I32)
-        residuals = _queue_loop(n_items, init_lane, step, pull, out0, lanes, unroll)
+        residuals = _run_tiers(n_items, n_heavy, lanes, unroll, init_for, step, pull_for, out0)
         residuals = residuals[:total_out]
     else:
         residuals = jnp.zeros(total_out, dtype=I32)
@@ -479,21 +524,53 @@ def _stage6_prepare(d, ref, block_count, blocks_flat, block_start, extra_count, 
     return offsets, seg_node, parent_pos, keep
 
 
+def _counting_rank(keys, n_keys: int):
+    """Stable counting-sort rank for small key universes (replaces argsort:
+    chain depths take at most max_depth+1 values, so a few masked cumsums
+    beat a full 32-bit sort by a wide margin on TPU)."""
+    m = keys.shape[0]
+    rank = jnp.zeros(m, I32)
+    base = jnp.int32(0)
+    for b in range(n_keys):
+        is_b = keys == b
+        cnt = jnp.cumsum(is_b.astype(I32))
+        rank = jnp.where(is_b, base + cnt - 1, rank)
+        base = base + cnt[-1] if m else base
+    return rank
+
+
 @functools.partial(jax.jit, static_argnames=("n_rounds",))
 def _stage6_schedule(depth, seg_node, parent_pos, keep, extra_nodes, n_rounds):
     """Order copy-arcs and extras by the chain depth of their node so each
     round processes a contiguous slice (every arc is touched in exactly one
-    round).  Returns the reordered arrays and the per-round histograms."""
+    round).  Returns the reordered arrays and the per-round histograms.
+    Depth has at most n_rounds distinct values -> counting sort."""
     cd = depth[seg_node]
-    c_order = jnp.argsort(cd, stable=True).astype(I32)
-    seg_node_r = seg_node[c_order]
-    parent_pos_r = parent_pos[c_order]
-    keep_r = keep[c_order]
+    P = seg_node.shape[0]
+    c_rank = _counting_rank(cd, n_rounds)
+    seg_node_r = jnp.zeros(P, I32).at[c_rank].set(seg_node, mode="drop", unique_indices=True)
+    parent_pos_r = jnp.zeros(P, I32).at[c_rank].set(parent_pos, mode="drop", unique_indices=True)
+    keep_r = jnp.zeros(P, bool).at[c_rank].set(keep, mode="drop", unique_indices=True)
     c_hist = jnp.bincount(cd, length=n_rounds)
     ed = depth[extra_nodes]
-    e_order = jnp.argsort(ed, stable=True).astype(I32)
+    E = extra_nodes.shape[0]
+    e_rank = _counting_rank(ed, n_rounds)
+    e_order = jnp.zeros(E, I32).at[e_rank].set(
+        jnp.arange(E, dtype=I32), mode="drop", unique_indices=True
+    )
     e_hist = jnp.bincount(ed, length=n_rounds)
     return seg_node_r, parent_pos_r, keep_r, e_order, c_hist, e_hist
+
+
+def _group_first(sorted_keys):
+    """Index of the first occurrence of each element's key in a sorted key
+    array — dense boundary+cummax instead of a gather-heavy searchsorted."""
+    k = sorted_keys.shape[0]
+    idx = jnp.arange(k, dtype=I32)
+    boundary = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_keys[1:] != sorted_keys[:-1]]
+    ) if k else jnp.ones(0, bool)
+    return jax.lax.cummax(jnp.where(boundary, idx, 0))
 
 
 @jax.jit
@@ -503,7 +580,7 @@ def _round0_commit(out, extra_slice_nodes, extra_slice_vals, offsets):
     m = out.shape[0] - 1
     k = extra_slice_nodes.shape[0]
     ranks = jnp.arange(k, dtype=I32)
-    grp_first = jnp.searchsorted(extra_slice_nodes, extra_slice_nodes, side="left").astype(I32)
+    grp_first = _group_first(extra_slice_nodes)
     tgt = offsets[extra_slice_nodes] + (ranks - grp_first)
     return out.at[tgt].set(extra_slice_vals, mode="drop", unique_indices=True)
 
@@ -520,7 +597,7 @@ def _roundt_commit(out, c_nodes, c_parent_pos, c_keep, e_nodes, e_vals, offsets)
     all_nodes, all_vals = jax.lax.sort((all_nodes, all_vals), num_keys=2)
     is_real = all_nodes < jnp.int32(2**30)
     ranks = jnp.arange(all_nodes.shape[0], dtype=I32)
-    grp_first = jnp.searchsorted(all_nodes, all_nodes, side="left").astype(I32)
+    grp_first = _group_first(all_nodes)
     within = ranks - grp_first
     nmax = offsets.shape[0] - 1
     tgt = jnp.where(is_real, offsets[jnp.minimum(all_nodes, nmax - 1)] + within, out.shape[0])
@@ -555,15 +632,15 @@ def make_decode_fn(settings, sizes: dict, n: int, lanes: int = DEFAULT_LANES):
         d, ref, block_count, pos, _, _ = _stage1(words, bit_offsets[:n], skey)
         (blocks_flat, block_start, pos, copied, extra_count, int_count, _) = _stage2_blocks(
             words, pos, block_count, d, ref, skey, lanes, sizes["total_blocks"],
-            n_items=sizes["n_items_blocks"],
+            n_items=sizes["n_items_blocks"], n_heavy=sizes.get("n_heavy_blocks", 0),
         )
         lefts, lens, int_start, pos, residual_count, _, _ = _stage3_intervals(
             words, pos, int_count, extra_count, skey, lanes, sizes["total_ints"],
-            n_items=sizes["n_items_ints"],
+            n_items=sizes["n_items_ints"], n_heavy=sizes.get("n_heavy_ints", 0),
         )
         residuals, res_start = _stage4_residuals(
             words, pos, residual_count, skey, lanes, sizes["total_res"],
-            n_items=sizes["n_items_res"],
+            n_items=sizes["n_items_res"], n_heavy=sizes.get("n_heavy_res", 0),
         )
         extra_nodes, extra_vals = _stage5_extras(
             lefts, lens, int_count, residuals, residual_count, res_start,
@@ -613,16 +690,18 @@ def decode_to_csr(dg: DeviceGraph, lanes: int = DEFAULT_LANES, sizes: dict | Non
     words = dg.words
 
     d, ref, block_count, pos, total_blocks_dev, m_dev = _stage1(words, dg.bit_offsets[:n], skey)
-    if sizes is None:
-        sizes = {}
+    sizes = dict(sizes) if sizes else {}
     total_blocks = sizes.get("total_blocks") or int(total_blocks_dev)
     m = sizes.get("m") or int(m_dev)
     nb = sizes.get("n_items_blocks")
     if nb is None:
         nb = int(jnp.sum((block_count > 0).astype(I32)))
+    if "n_heavy_blocks" not in sizes:
+        sizes["n_heavy_blocks"] = int(jnp.sum((block_count > 64).astype(I32)))
 
     (blocks_flat, block_start, pos, copied, extra_count, int_count, total_ints_dev) = _stage2_blocks(
-        words, pos, block_count, d, ref, skey, lanes, total_blocks, n_items=nb
+        words, pos, block_count, d, ref, skey, lanes, total_blocks, n_items=nb,
+        n_heavy=sizes.get("n_heavy_blocks", 0),
     )
     total_ints = sizes.get("total_ints")
     if total_ints is None:
@@ -630,9 +709,12 @@ def decode_to_csr(dg: DeviceGraph, lanes: int = DEFAULT_LANES, sizes: dict | Non
     ni = sizes.get("n_items_ints")
     if ni is None:
         ni = int(jnp.sum((int_count > 0).astype(I32)))
+    if "n_heavy_ints" not in sizes:
+        sizes["n_heavy_ints"] = int(jnp.sum((int_count > 64).astype(I32)))
 
     lefts, lens, int_start, pos, residual_count, total_res_dev, tot_int_arcs_dev = _stage3_intervals(
-        words, pos, int_count, extra_count, skey, lanes, total_ints, n_items=ni
+        words, pos, int_count, extra_count, skey, lanes, total_ints, n_items=ni,
+        n_heavy=sizes.get("n_heavy_ints", 0),
     )
     total_res = sizes.get("total_res")
     if total_res is None:
@@ -643,9 +725,12 @@ def decode_to_csr(dg: DeviceGraph, lanes: int = DEFAULT_LANES, sizes: dict | Non
     nr = sizes.get("n_items_res")
     if nr is None:
         nr = int(jnp.sum((residual_count > 0).astype(I32)))
+    if "n_heavy_res" not in sizes:
+        sizes["n_heavy_res"] = int(jnp.sum((residual_count > 64).astype(I32)))
 
     residuals, res_start = _stage4_residuals(
-        words, pos, residual_count, skey, lanes, total_res, n_items=nr
+        words, pos, residual_count, skey, lanes, total_res, n_items=nr,
+        n_heavy=sizes.get("n_heavy_res", 0),
     )
 
     extra_nodes, extra_vals = _stage5_extras(
@@ -705,4 +790,7 @@ def decode_to_csr(dg: DeviceGraph, lanes: int = DEFAULT_LANES, sizes: dict | Non
         "n_items_blocks": nb,
         "n_items_ints": ni,
         "n_items_res": nr,
+        "n_heavy_blocks": sizes.get("n_heavy_blocks", 0),
+        "n_heavy_ints": sizes.get("n_heavy_ints", 0),
+        "n_heavy_res": sizes.get("n_heavy_res", 0),
     }

@@ -235,6 +235,12 @@ def _decode_impl(g, want_sizes: bool):
             "n_items_blocks": int((block_count > 0).sum()),
             "n_items_ints": int((int_count > 0).sum()),
             "n_items_res": int((residual_count > 0).sum()),
+            # items whose code count exceeds the heavy threshold serialize a
+            # work-queue lane for many trips; the device decoder runs them in
+            # a separate narrow-lane tier so they don't stall the wide tier
+            "n_heavy_blocks": int((block_count > 64).sum()),
+            "n_heavy_ints": int((int_count > 64).sum()),
+            "n_heavy_res": int((residual_count > 64).sum()),
             "c_hist": c_hist,
             "e_hist": e_hist,
         }
