@@ -37,13 +37,30 @@ def words_from_bytes(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=">u4").astype(np.uint32)
 
 
+def window_rows(words: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the (W, 3) row table [w[i], w[i+1], w[i+2]] so each peek is
+    ONE row gather instead of three word gathers.  On this backend every
+    XLA op inside a while_loop costs tens of microseconds of launch overhead
+    regardless of size, so op count — not bytes — is the decode currency."""
+    return jnp.stack(
+        [words, jnp.roll(words, -1), jnp.roll(words, -2)], axis=1
+    )
+
+
 def peek(words: jnp.ndarray, pos: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Return the 64-bit window at each bit cursor as (hi32, lo32)."""
+    """Return the 64-bit window at each bit cursor as (hi32, lo32).
+
+    ``words`` may be the flat uint32 stream or the (W, 3) row table from
+    :func:`window_rows` (one gather per peek)."""
     i = (pos >> 5).astype(I32)
     off = (pos & 31).astype(U32)
-    a = words[i]
-    b = words[i + 1]
-    c = words[i + 2]
+    if words.ndim == 2:
+        rows = words[i]
+        a, b, c = rows[:, 0], rows[:, 1], rows[:, 2]
+    else:
+        a = words[i]
+        b = words[i + 1]
+        c = words[i + 2]
     off2 = (U32(32) - off) & U32(31)  # shift-by-32 guard
     hi = jnp.where(off > 0, (a << off) | (b >> off2), a)
     lo = jnp.where(off > 0, (b << off) | (c >> off2), b)

@@ -36,7 +36,8 @@ from webgraph_tpu.bits import jcodes as J
 I32 = jnp.int32
 U32 = jnp.uint32
 
-DEFAULT_LANES = 8192
+DEFAULT_LANES = 32768
+HEAVY_UNROLL = 32  # deep chains: fewer trips, each amortizing fixed op cost
 
 
 @dataclass
@@ -97,16 +98,17 @@ def _stage1(words, start_pos, skey):
         read_ref = J.make_reader(ref_c, zeta_k)
     read_bcnt = J.make_reader(bcnt_c, zeta_k)
 
-    d, pos = read_outd(words, start_pos)
+    wrows = J.window_rows(words) if words.ndim == 1 else words
+    d, pos = read_outd(wrows, start_pos)
     nonempty = d > 0
     if window_size > 0:
-        r, p2 = read_ref(words, pos)
+        r, p2 = read_ref(wrows, pos)
         ref = jnp.where(nonempty, r, -1)
         pos = jnp.where(nonempty, p2, pos)
     else:
         ref = jnp.full_like(d, -1)
     has_ref = ref > 0
-    bc, p3 = read_bcnt(words, pos)
+    bc, p3 = read_bcnt(wrows, pos)
     block_count = jnp.where(has_ref, bc, 0)
     pos = jnp.where(has_ref, p3, pos)
     total_blocks = jnp.sum(block_count)
@@ -119,15 +121,20 @@ def _stage1(words, start_pos, skey):
 # ----------------------------------------------------------------------
 
 
-def _queue_loop(lo, hi, init_lane, step_fn, pull_fn, carry_init, lanes, unroll=1):
+def _queue_loop(lo, hi, init_lane, step_fn, apply_fn, pull_fn, carry_init, lanes, unroll=1):
     """Work-queue driver over items [lo, hi): each while_loop trip runs
-    ``unroll`` decode steps per lane, then retires finished lanes and pulls
-    new items.  Unrolling amortizes the per-trip dispatch cost over many
-    codes.  Callers split skewed workloads into a narrow-lane tier for the
-    few heavy items and a wide-lane tier for the bulk (the TPU analog of
-    the reference's arc-balanced chunking, HyperBall.java:849-873): total
-    gather traffic per tier is ~ lanes x max_item_count, so heavy items run
-    with few lanes and the bulk with many."""
+    ``unroll`` decode steps per lane, applies all their writes in ONE
+    batched scatter per output array, then retires finished lanes and pulls
+    new items.
+
+    Two backend facts shape this design: (1) on this machine every XLA op
+    inside a while_loop costs tens of microseconds of launch overhead
+    regardless of operand size, so writes are batched across the unroll
+    (op count, not bytes, is the currency); (2) a handful of very deep
+    items would serialize wide lanes for hundreds of trips, so callers
+    split the workload into a narrow heavy tier and a wide bulk tier (the
+    TPU analog of the reference's arc-balanced chunking,
+    HyperBall.java:849-873)."""
 
     def cond(st):
         head, state, carry = st
@@ -135,8 +142,11 @@ def _queue_loop(lo, hi, init_lane, step_fn, pull_fn, carry_init, lanes, unroll=1
 
     def body(st):
         head, state, carry = st
+        writes = []
         for _ in range(unroll):
-            state, carry = step_fn(state, carry)
+            state, w = step_fn(state)
+            writes.append(w)
+        carry = apply_fn(carry, writes)
         finished = (state["remaining"] == 0) & state["live"]
         ranks = jnp.cumsum(finished.astype(I32)) - finished.astype(I32)
         new_item = head + ranks
@@ -189,16 +199,19 @@ def _heavy_lanes(n_heavy: int) -> int:
     return max(128, ((n_heavy + 127) // 128) * 128)
 
 
-def _run_tiers(n_items, n_heavy, lanes, unroll, init_for, step, pull_for, carry):
+def _run_tiers(n_items, n_heavy, lanes, unroll, init_for, step, apply_fn, pull_for, carry):
     """Run the narrow heavy tier (items [0, n_heavy), largest first) then
     the wide bulk tier (items [n_heavy, n_items)).  ``init_for(hi)`` /
     ``pull_for(hi)`` build the closures bounded to each tier's item range."""
     if n_heavy > 0:
         hl = min(_heavy_lanes(n_heavy), lanes)
-        carry = _queue_loop(0, n_heavy, init_for(n_heavy), step, pull_for(n_heavy), carry, hl, unroll)
+        carry = _queue_loop(
+            0, n_heavy, init_for(n_heavy), step, apply_fn, pull_for(n_heavy), carry, hl,
+            max(unroll, HEAVY_UNROLL),
+        )
     if n_items > n_heavy:
         carry = _queue_loop(
-            n_heavy, n_items, init_for(n_items), step, pull_for(n_items), carry, lanes, unroll
+            n_heavy, n_items, init_for(n_items), step, apply_fn, pull_for(n_items), carry, lanes, unroll
         )
     return carry
 
@@ -221,6 +234,7 @@ def _stage2_blocks(
     if n_items is None:
         n_items = n
     read_blk = J.make_reader(blk_c, zeta_k)
+    wrows = J.window_rows(words) if words.ndim == 1 else words
 
     order = jnp.argsort(-block_count)[:n_items].astype(I32)
     counts = block_count[order]
@@ -231,22 +245,30 @@ def _stage2_blocks(
     def init_for(hi):
         return lambda i: _item_state(i, hi, starts, counts, bases, order)
 
-    def step(state, carry):
-        out, end_pos = carry
+    def step(state):
         active = state["remaining"] > 0
-        v, newpos = read_blk(words, state["pos"])
+        v, newpos = read_blk(wrows, state["pos"])
         val = v + (state["off"] > 0).astype(I32)
-        tgt = jnp.where(active, state["base"] + state["off"], out.shape[0])
-        out = out.at[tgt].set(val, mode="drop", unique_indices=True)
+        # sink = total_out + 1 is out of bounds for the (total_out + 1)-sized
+        # buffer, so inactive lanes are dropped (never written, never dup)
+        tgt = jnp.where(active, state["base"] + state["off"], total_out + 1)
         state = dict(state)
         state["pos"] = jnp.where(active, newpos, state["pos"])
         state["remaining"] = jnp.where(active, state["remaining"] - 1, 0)
         state["off"] = jnp.where(active, state["off"] + 1, state["off"])
         done_now = active & (state["remaining"] == 0)
-        end_pos = end_pos.at[jnp.where(done_now, state["node"], n)].set(
-            state["pos"], mode="drop", unique_indices=True
-        )
-        return state, (out, end_pos)
+        etgt = jnp.where(done_now, state["node"], n)
+        return state, (tgt, val, etgt, state["pos"])
+
+    def apply_fn(carry, writes):
+        out, end_pos = carry
+        tgts = jnp.concatenate([w[0] for w in writes])
+        vals = jnp.concatenate([w[1] for w in writes])
+        out = out.at[tgts].set(vals, mode="drop", unique_indices=True)
+        etgts = jnp.concatenate([w[2] for w in writes])
+        eposs = jnp.concatenate([w[3] for w in writes])
+        end_pos = end_pos.at[etgts].set(eposs, mode="drop", unique_indices=True)
+        return out, end_pos
 
     def pull_for(hi):
         return lambda state, new_item, valid: _pull(
@@ -257,7 +279,7 @@ def _stage2_blocks(
         out0 = jnp.zeros(total_out + 1, dtype=I32)
         endpos0 = jnp.zeros(n, dtype=I32)
         blocks_flat, end_pos = _run_tiers(
-            n_items, n_heavy, lanes, unroll, init_for, step, pull_for, (out0, endpos0)
+            n_items, n_heavy, lanes, unroll, init_for, step, apply_fn, pull_for, (out0, endpos0)
         )
         blocks_flat = blocks_flat[:total_out]
     else:
@@ -286,7 +308,7 @@ def _stage2_blocks(
 
     # interval counts (vector step, gated)
     if minint != 0:
-        ic, p_ic = J.read_gamma(words, pos_after)
+        ic, p_ic = J.read_gamma(wrows, pos_after)
         gate = extra_count > 0
         int_count = jnp.where(gate, ic, 0)
         pos_after = jnp.where(gate, p_ic, pos_after)
@@ -318,6 +340,7 @@ def _stage3_intervals(
     n = pos.shape[0]
     if n_items is None:
         n_items = n
+    wrows = J.window_rows(words) if words.ndim == 1 else words
     order = jnp.argsort(-int_count)[:n_items].astype(I32)
     counts = int_count[order]
     int_start = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(int_count, dtype=I32)])
@@ -327,29 +350,34 @@ def _stage3_intervals(
     def init_for(hi):
         return lambda i: _item_state(i, hi, starts, counts, bases, order)
 
-    def step(state, carry):
-        lefts, lens, end_pos = carry
+    def step(state):
         active = state["remaining"] > 0
-        lraw, p = J.read_gamma_u(words, state["pos"])
+        lraw, p = J.read_gamma_u(wrows, state["pos"])
         first = state["off"] == 0
         left = jnp.where(
             first, state["node"] + J.nat2int_u(lraw), state["prev"] + 1 + lraw.astype(I32)
         )
-        ln_raw, p2 = J.read_gamma(words, p)
+        ln_raw, p2 = J.read_gamma(wrows, p)
         ln = ln_raw + minint
-        tgt = jnp.where(active, state["base"] + state["off"], lefts.shape[0])
-        lefts = lefts.at[tgt].set(left, mode="drop", unique_indices=True)
-        lens = lens.at[tgt].set(ln, mode="drop", unique_indices=True)
+        tgt = jnp.where(active, state["base"] + state["off"], total_out + 1)
         state = dict(state)
         state["pos"] = jnp.where(active, p2, state["pos"])
         state["remaining"] = jnp.where(active, state["remaining"] - 1, 0)
         state["off"] = jnp.where(active, state["off"] + 1, state["off"])
         state["prev"] = jnp.where(active, left + ln, state["prev"])
         done_now = active & (state["remaining"] == 0)
-        end_pos = end_pos.at[jnp.where(done_now, state["node"], n)].set(
-            state["pos"], mode="drop", unique_indices=True
-        )
-        return state, (lefts, lens, end_pos)
+        etgt = jnp.where(done_now, state["node"], n)
+        return state, (tgt, left, ln, etgt, state["pos"])
+
+    def apply_fn(carry, writes):
+        lefts, lens, end_pos = carry
+        tgts = jnp.concatenate([w[0] for w in writes])
+        lefts = lefts.at[tgts].set(jnp.concatenate([w[1] for w in writes]), mode="drop", unique_indices=True)
+        lens = lens.at[tgts].set(jnp.concatenate([w[2] for w in writes]), mode="drop", unique_indices=True)
+        etgts = jnp.concatenate([w[3] for w in writes])
+        eposs = jnp.concatenate([w[4] for w in writes])
+        end_pos = end_pos.at[etgts].set(eposs, mode="drop", unique_indices=True)
+        return lefts, lens, end_pos
 
     def pull_for(hi):
         return lambda state, new_item, valid: _pull(
@@ -361,7 +389,8 @@ def _stage3_intervals(
         lens0 = jnp.zeros(total_out + 1, dtype=I32)
         endpos0 = jnp.zeros(n, dtype=I32)
         lefts, lens, end_pos = _run_tiers(
-            n_items, n_heavy, lanes, unroll, init_for, step, pull_for, (lefts0, lens0, endpos0)
+            n_items, n_heavy, lanes, unroll, init_for, step, apply_fn, pull_for,
+            (lefts0, lens0, endpos0),
         )
         lefts, lens = lefts[:total_out], lens[:total_out]
     else:
@@ -398,6 +427,7 @@ def _stage4_residuals(
     if n_items is None:
         n_items = n
     read_u = J.make_reader_u(res_c, zeta_k)
+    wrows = J.window_rows(words) if words.ndim == 1 else words
     order = jnp.argsort(-residual_count)[:n_items].astype(I32)
     counts = residual_count[order]
     res_start = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(residual_count, dtype=I32)])
@@ -407,19 +437,23 @@ def _stage4_residuals(
     def init_for(hi):
         return lambda i: _item_state(i, hi, starts, counts, bases, order)
 
-    def step(state, out):
+    def step(state):
         active = state["remaining"] > 0
-        v, newpos = read_u(words, state["pos"])
+        v, newpos = read_u(wrows, state["pos"])
         first = state["off"] == 0
         val = jnp.where(first, state["node"] + J.nat2int_u(v), state["prev"] + v.astype(I32) + 1)
-        tgt = jnp.where(active, state["base"] + state["off"], out.shape[0])
-        out = out.at[tgt].set(val, mode="drop", unique_indices=True)
+        tgt = jnp.where(active, state["base"] + state["off"], total_out + 1)
         state = dict(state)
         state["pos"] = jnp.where(active, newpos, state["pos"])
         state["remaining"] = jnp.where(active, state["remaining"] - 1, 0)
         state["off"] = jnp.where(active, state["off"] + 1, state["off"])
         state["prev"] = jnp.where(active, val, state["prev"])
-        return state, out
+        return state, (tgt, val)
+
+    def apply_fn(out, writes):
+        tgts = jnp.concatenate([w[0] for w in writes])
+        vals = jnp.concatenate([w[1] for w in writes])
+        return out.at[tgts].set(vals, mode="drop", unique_indices=True)
 
     def pull_for(hi):
         return lambda state, new_item, valid: _pull(
@@ -428,7 +462,9 @@ def _stage4_residuals(
 
     if n_items > 0:
         out0 = jnp.zeros(total_out + 1, dtype=I32)
-        residuals = _run_tiers(n_items, n_heavy, lanes, unroll, init_for, step, pull_for, out0)
+        residuals = _run_tiers(
+            n_items, n_heavy, lanes, unroll, init_for, step, apply_fn, pull_for, out0
+        )
         residuals = residuals[:total_out]
     else:
         residuals = jnp.zeros(total_out, dtype=I32)
