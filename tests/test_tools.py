@@ -28,7 +28,6 @@ from webgraph_tpu.tools.misc import (
     permutation_resilient_checksum,
     to_dot,
     zipf_counts,
-    _huffman_lengths,
 )
 from webgraph_tpu.tools.speed_test import SpeedTest
 from webgraph_tpu.tools.stats import Stats
@@ -136,6 +135,34 @@ def test_checksum_permutation_resilient():
     b = permutation_resilient_checksum(["a b", "x y", "z w"])
     c = permutation_resilient_checksum(["a b", "x y", "z q"])
     assert a == b != c
+
+
+def _huffman_lengths(freqs):
+    """Heap-based Huffman oracle for minimum_redundancy_code_lengths."""
+    import heapq
+
+    n = len(freqs)
+    if n == 1:
+        return np.ones(1, dtype=np.int64)
+    heap = [(int(f), i, None) for i, f in enumerate(freqs)]
+    heapq.heapify(heap)
+    nodes = []
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        node = (a[0] + b[0], n + len(nodes), (a, b))
+        nodes.append(node)
+        heapq.heappush(heap, node)
+    lengths = np.zeros(n, dtype=np.int64)
+    stack = [(heap[0], 0)]
+    while stack:
+        node, depth = stack.pop()
+        if node[2] is None:
+            lengths[node[1]] = max(depth, 1)
+        else:
+            stack.append((node[2][0], depth + 1))
+            stack.append((node[2][1], depth + 1))
+    return lengths
 
 
 def test_minimum_redundancy_lengths():

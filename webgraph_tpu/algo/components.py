@@ -5,11 +5,12 @@ parallel-BFS sweep) and StronglyConnectedComponents.java:70 (iterative
 Tarjan with an explicit stack, :88-193, plus component sizes and
 largest-first renumbering).
 
-The data-parallel SCC path uses label propagation + forward/backward
-reachability (the Tarjan recursion does not vectorize; the reference's own
-tests accept any component labeling up to renumbering, which is what
-``sort_by_size`` canonicalizes).
-"""
+Two SCC engines: the data-parallel default ``_scc_coloring`` (trim +
+Orzan-style forward max-coloring + backward in-color reachability, all
+full-arc-array passes — the TPU-shaped algorithm) and the scalar
+``_tarjan_iterative`` oracle it is tested against (the Tarjan recursion
+does not vectorize; the reference's own tests accept any component labeling
+up to renumbering, which is what ``sort_by_size`` canonicalizes)."""
 
 from __future__ import annotations
 
@@ -31,29 +32,28 @@ class ConnectedComponents:
 
     @classmethod
     def compute(cls, graph: ImmutableGraph) -> "ConnectedComponents":
+        """Min-label propagation with pointer jumping: full-arc-array passes
+        (no per-component Python loop), the TPU-shaped replacement for the
+        reference's single visitAll BFS round."""
         offsets, succ = graph.to_csr()
         n = graph.num_nodes()
-        comp = np.full(n, -1, dtype=np.int64)
-        cid = 0
-        for start in range(n):
-            if comp[start] >= 0:
-                continue
-            frontier = np.array([start], dtype=np.int64)
-            comp[start] = cid
-            while len(frontier):
-                counts = (offsets[frontier + 1] - offsets[frontier]).astype(np.int64)
-                total = int(counts.sum())
-                if total == 0:
-                    break
-                seg = np.repeat(np.arange(len(frontier)), counts)
-                base = np.concatenate([[0], np.cumsum(counts)[:-1]])
-                within = np.arange(total) - base[seg]
-                t = succ[offsets[frontier][seg] + within].astype(np.int64)
-                t = np.unique(t[comp[t] < 0])
-                comp[t] = cid
-                frontier = t
-            cid += 1
-        return cls(comp)
+        src = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        dst = succ.astype(np.int64)
+        label = np.arange(n, dtype=np.int64)
+        while True:
+            prev = label
+            label = label.copy()
+            # hook: pull the smaller label across each (undirected) arc
+            np.minimum.at(label, dst, prev[src])
+            np.minimum.at(label, src, prev[dst])
+            # pointer jumping: labels are node ids, so chase them
+            label = np.minimum(label, label[label])
+            label = label[label]
+            if np.array_equal(label, prev):
+                break
+        # renumber to dense component ids
+        _, comp = np.unique(label, return_inverse=True)
+        return cls(comp.astype(np.int64))
 
     def compute_sizes(self) -> np.ndarray:
         return np.bincount(self.component, minlength=self.number_of_components)
@@ -78,10 +78,20 @@ class StronglyConnectedComponents:
         self.buckets = buckets
 
     @classmethod
-    def compute(cls, graph: ImmutableGraph, compute_buckets: bool = False) -> "StronglyConnectedComponents":
+    def compute(
+        cls,
+        graph: ImmutableGraph,
+        compute_buckets: bool = False,
+        method: str = "coloring",
+    ) -> "StronglyConnectedComponents":
         offsets, succ = graph.to_csr()
         n = graph.num_nodes()
-        comp = _tarjan_iterative(offsets, succ, n)
+        if method == "coloring":
+            comp = _scc_coloring(offsets, succ, n)
+        elif method == "tarjan":
+            comp = _tarjan_iterative(offsets, succ, n)
+        else:
+            raise ValueError(f"unknown SCC method {method!r}")
         buckets = None
         if compute_buckets:
             ncomp = int(comp.max() + 1) if n else 0
@@ -103,6 +113,70 @@ class StronglyConnectedComponents:
         self.component = rank[self.component]
         if self.buckets is not None:
             self.buckets = self.buckets[order]
+
+
+def _scc_coloring(offsets: np.ndarray, succ: np.ndarray, n: int) -> np.ndarray:
+    """Data-parallel SCC: iterative trim + forward max-coloring + backward
+    in-color reachability (Orzan's coloring / FW-BW family).  Every step is a
+    full-arc-array scatter pass — no recursion, no per-node Python loop —
+    which is the shape that vectorizes on TPU.  Exact: tested against the
+    Tarjan oracle (tests/test_components.py).
+
+    Reference behavior anchor: StronglyConnectedComponents.java:88-193
+    (component ids differ by renumbering; sort_by_size canonicalizes).
+    """
+    comp = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return comp
+    src_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    dst_all = succ.astype(np.int64)
+    keep = src_all != dst_all  # self-loops never affect SCC structure
+    src_all, dst_all = src_all[keep], dst_all[keep]
+    alive = np.ones(n, dtype=bool)
+    ncomp = 0
+    ids = np.arange(n, dtype=np.int64)
+    while True:
+        # --- trim: repeatedly strip nodes with in- or out-degree 0 -------
+        while True:
+            a = alive[src_all] & alive[dst_all]
+            s, t = src_all[a], dst_all[a]
+            outd = np.zeros(n, dtype=np.int64)
+            ind = np.zeros(n, dtype=np.int64)
+            np.add.at(outd, s, 1)
+            np.add.at(ind, t, 1)
+            trivial = alive & ((outd == 0) | (ind == 0))
+            if not trivial.any():
+                break
+            order = ids[trivial]
+            comp[order] = ncomp + np.arange(len(order))
+            ncomp += len(order)
+            alive[trivial] = False
+        if not alive.any():
+            break
+        a = alive[src_all] & alive[dst_all]
+        s, t = src_all[a], dst_all[a]
+        # --- forward max-coloring to fixpoint ----------------------------
+        color = np.where(alive, ids, np.int64(-1))
+        while True:
+            prev = color.copy()
+            np.maximum.at(color, t, color[s])
+            if np.array_equal(color, prev):
+                break
+        # --- backward reachability of each color root within its color ---
+        in_scc = alive & (color == ids)
+        same = color[s] == color[t]
+        ss, tt = s[same], t[same]
+        while True:
+            grow = in_scc[tt] & ~in_scc[ss]
+            if not grow.any():
+                break
+            in_scc[ss[grow]] = True
+        roots = color[in_scc]
+        uniq, inv = np.unique(roots, return_inverse=True)
+        comp[in_scc] = ncomp + inv
+        ncomp += len(uniq)
+        alive[in_scc] = False
+    return comp
 
 
 def _tarjan_iterative(offsets: np.ndarray, succ: np.ndarray, n: int) -> np.ndarray:

@@ -150,19 +150,26 @@ class HyperBall:
     def modified_counters(self) -> int:
         return int(self.modified.sum())
 
-    def run(self, upper_bound: int = 2**31 - 1, threshold: float = -1.0) -> list[float]:
+    def run(self, upper_bound: int = 2**31 - 1, threshold: float = -1.0, pl=None) -> list[float]:
         """Iterate until no counter changes, the relative increment of the
         neighbourhood function falls below ``threshold``, or ``upper_bound``
         iterations (reference: run, HyperBall.java:1295-1350)."""
         upper_bound = min(upper_bound, self.n)
+        if pl is not None:
+            pl.items_name = "iterations"
+            pl.start("hyperball")
         for _ in range(upper_bound):
             self.iterate()
+            if pl is not None:
+                pl.update()
             if self.modified_counters() == 0:
                 break
             if threshold >= 0 and len(self.neighbourhood_function) >= 2:
                 prev, curr = self.neighbourhood_function[-2], self.neighbourhood_function[-1]
                 if prev != 0 and (curr - prev) / prev < threshold:
                     break
+        if pl is not None:
+            pl.done()
         return self.neighbourhood_function
 
     # -- checkpoint / resume ---------------------------------------------

@@ -34,6 +34,57 @@ def words_to_bytes(words: np.ndarray, bit_length: int) -> bytes:
     return raw[: (bit_length + 7) // 8]
 
 
+class MappedWords:
+    """Lazy big-endian uint64 word view over a memory-mapped byte buffer.
+
+    The reference's mapped load mode (BVGraph.java:1551-1554,
+    ByteBufferInputStream.map) keeps the graph file off the heap and decodes
+    straight from the mapping; this is the NumPy equivalent: ``buf`` is an
+    ``np.memmap`` (or any uint8 array) and words are assembled per access,
+    so random-access decoding touches only the pages it reads.
+
+    ``materialize()`` converts to a plain uint64 array (needed by the bulk
+    vectorized/device decoders, which by nature read the whole stream).
+    """
+
+    __slots__ = ("_buf", "_n")
+
+    def __init__(self, buf: np.ndarray):
+        self._buf = buf
+        self._n = (len(buf) + 7) // 8
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> int:
+        b = bytes(self._buf[8 * i : 8 * i + 8])
+        if len(b) < 8:
+            b = b + b"\x00" * (8 - len(b))
+        return int.from_bytes(b, "big")
+
+    def materialize(self) -> np.ndarray:
+        return bytes_to_words(self._buf.tobytes())
+
+
+def as_u64_words(words) -> np.ndarray:
+    """Plain uint64 ndarray view of a word store (materializing if mapped)."""
+    if isinstance(words, MappedWords):
+        return words.materialize()
+    return np.asarray(words, dtype=np.uint64)
+
+
+class _SentinelWords:
+    """MappedWords plus an out-of-range zero sentinel word."""
+
+    __slots__ = ("_mw",)
+
+    def __init__(self, mw: MappedWords):
+        self._mw = mw
+
+    def __getitem__(self, i: int) -> int:
+        return self._mw[i] if i < len(self._mw) else 0
+
+
 class InputBitStream:
     """Sequential + random-access bit reader (scalar oracle).
 
@@ -54,6 +105,16 @@ class InputBitStream:
             words = data
             if bit_length is None:
                 bit_length = 64 * len(data)
+        elif isinstance(data, MappedWords):
+            # lazy mapped store: keep as-is (per-access word assembly); the
+            # sentinel is provided by MappedWords' zero-padded tail reads.
+            if bit_length is None:
+                bit_length = 64 * len(data)
+            self._words = _SentinelWords(data)
+            self._nwords = len(data) + 1
+            self.pos = 0
+            self.length = bit_length
+            return
         else:
             raise TypeError(f"unsupported backing store {type(data)}")
         # Python ints are much faster than numpy scalars for bit twiddling.

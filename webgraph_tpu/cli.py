@@ -51,8 +51,15 @@ def cmd_bvgraph(args):
         min_interval_length=args.min_interval_length,
         zeta_k=args.zeta_k,
         num_shards=args.threads if args.threads > 0 else 1,
+        pl=_progress("nodes"),
     )
     print(f"stored {args.dest}: {props['bitsperlink']} bits/link, {props['arcs']} arcs")
+
+
+def _progress(items: str):
+    from webgraph_tpu.utils.progress import ProgressLogger
+
+    return ProgressLogger(items_name=items, log_interval=10.0)
 
 
 def cmd_efgraph(args):
@@ -123,7 +130,7 @@ def cmd_hyperball(args):
         do_sum_of_distances=args.sum_of_distances,
         do_sum_of_inverse_distances=args.harmonic,
     )
-    nf = hb.run(threshold=args.threshold)
+    nf = hb.run(threshold=args.threshold, pl=_progress("iterations"))
     for i, v in enumerate(nf):
         print(f"{i}\t{v}")
     if args.harmonic:

@@ -158,11 +158,14 @@ class ScatteredArcsASCIIGraph:
         n: int | None = None,
         numeric: bool | None = None,
     ):
+        from webgraph_tpu.transform.transform import BatchGraph, _BatchSpiller
+
         f, close = _open(source)
+        spiller = _BatchSpiller(batch_size, None, "wgt_scattered_")
+        buf_s: list[int] = []
+        buf_t: list[int] = []
         try:
             id2idx: dict[str, int] = {}
-            srcs: list[int] = []
-            dsts: list[int] = []
 
             def intern(tok: str) -> int:
                 i = id2idx.get(tok)
@@ -170,6 +173,14 @@ class ScatteredArcsASCIIGraph:
                     i = len(id2idx)
                     id2idx[tok] = i
                 return i
+
+            def flush_buf():
+                if buf_s:
+                    spiller.add(
+                        np.asarray(buf_s, dtype=np.int64), np.asarray(buf_t, dtype=np.int64)
+                    )
+                    buf_s.clear()
+                    buf_t.clear()
 
             for line in f:
                 line = line.strip()
@@ -179,17 +190,21 @@ class ScatteredArcsASCIIGraph:
                 s, t = intern(a), intern(b)
                 if no_loops and s == t:
                     continue
-                srcs.append(s)
-                dsts.append(t)
+                buf_s.append(s)
+                buf_t.append(t)
                 if symmetrize and s != t:
-                    srcs.append(t)
-                    dsts.append(s)
+                    buf_s.append(t)
+                    buf_t.append(s)
+                if len(buf_s) >= 65536:
+                    flush_buf()
+            flush_buf()
+            spiller.spill()
         finally:
             if close:
                 f.close()
         num = n if n is not None else len(id2idx)
-        if srcs:
-            self.graph = CSRGraph.from_arcs(np.array(srcs), np.array(dsts), n=num, dedup=True)
+        if spiller.files:
+            self.graph = CSRGraph(*BatchGraph(num, spiller.files).to_csr())
         else:
             self.graph = CSRGraph.from_lists([[] for _ in range(num)])
         self.ids = list(id2idx.keys())

@@ -27,7 +27,13 @@ from dataclasses import dataclass, field, replace
 import numpy as np
 
 from webgraph_tpu.bits import codes as C
-from webgraph_tpu.bits.bitstream import InputBitStream, OutputBitStream, bytes_to_words
+from webgraph_tpu.bits.bitstream import (
+    InputBitStream,
+    MappedWords,
+    OutputBitStream,
+    as_u64_words,
+    bytes_to_words,
+)
 from webgraph_tpu.graph.csr import CSRGraph
 from webgraph_tpu.graph.immutable_graph import ImmutableGraph, NodeIterator
 from webgraph_tpu.graph.properties import load_properties, store_properties
@@ -196,11 +202,34 @@ class BVGraph(ImmutableGraph):
             g.bit_offsets = cls._load_offsets(basename, g)
         return g
 
-    # Loading-mode aliases: all host loads are in-memory arrays; mapped uses
-    # np.memmap to keep the file off the heap (reference analog: loadMapped).
     @classmethod
     def load_mapped(cls, basename):
-        return cls.load(basename)
+        """Memory-mapped load: the ``.graph`` file stays off the heap and is
+        paged in on access (reference loadMapped / ByteBufferInputStream.map,
+        BVGraph.java:1551-1554).  Random-access decoding reads straight from
+        the mapping; bulk vectorized/device decodes materialize the words
+        once (they read the whole stream by nature)."""
+        props = load_properties(f"{basename}{PROPERTIES_EXTENSION}")
+        if int(props.get("version", 0)) > 0:
+            raise ValueError(f"unsupported BVGraph version {props['version']}")
+        settings = BVGraphSettings.from_flags_string(
+            props.get("compressionflags", ""),
+            window_size=int(props.get("windowsize", DEFAULT_WINDOW_SIZE)),
+            max_ref_count=int(props.get("maxrefcount", DEFAULT_MAX_REF_COUNT)),
+            min_interval_length=int(props.get("minintervallength", DEFAULT_MIN_INTERVAL_LENGTH)),
+            zeta_k=int(props.get("zetak", DEFAULT_ZETA_K)),
+        )
+        buf = np.memmap(f"{basename}{GRAPH_EXTENSION}", dtype=np.uint8, mode="r")
+        g = cls(
+            MappedWords(buf),
+            8 * len(buf),
+            int(props["nodes"]),
+            int(props["arcs"]),
+            settings,
+            basename=str(basename),
+        )
+        g.bit_offsets = cls._load_offsets(basename, g)
+        return g
 
     @classmethod
     def load_sequential(cls, basename):
@@ -368,7 +397,7 @@ class BVGraph(ImmutableGraph):
             from webgraph_tpu.bits.bitstream import words_to_bytes
 
             if native.available():
-                data = words_to_bytes(np.asarray(self._words), self._bit_length)
+                data = words_to_bytes(as_u64_words(self._words), self._bit_length)
                 out = native.bvgraph_decode(data, self._n, self._m, self.settings)
                 if out is not None:
                     return out
@@ -411,6 +440,7 @@ class BVGraph(ImmutableGraph):
         num_shards: int = 1,
         comment: str = "BVGraph properties",
         use_native: bool | str = "auto",
+        pl=None,
     ) -> dict:
         """Compress ``graph`` to BVGraph files; returns the stats dict
         (mirrors BVGraph.store -> storeInternal, BVGraph.java:1679,2436-2650).
@@ -451,12 +481,20 @@ class BVGraph(ImmutableGraph):
         else:
             iterators = graph.split_node_iterators(num_shards)
 
+        if pl is not None:
+            try:
+                pl.expected_updates = graph.num_nodes()
+            except (NotImplementedError, TypeError):
+                pass
+            pl.start("compressing")
         for it in iterators:
-            _compress_shard(it, s, graph_obs, offsets_obs, stats, final=False)
+            _compress_shard(it, s, graph_obs, offsets_obs, stats, final=False, pl=pl)
         # final offset (total bit length delta from last node's start)
         _write_code(offsets_obs, s.offset_coding, s.zeta_k, graph_obs.written_bits - stats.last_offset)
         stats.last_offset = graph_obs.written_bits
 
+        if pl is not None:
+            pl.done()
         with open(f"{basename}{GRAPH_EXTENSION}", "wb") as f:
             f.write(graph_obs.to_bytes())
         with open(f"{basename}{OFFSETS_EXTENSION}", "wb") as f:
@@ -946,6 +984,7 @@ def _compress_shard(
     offsets_obs: OutputBitStream,
     stats: _CompressionStats,
     final: bool,
+    pl=None,
 ) -> None:
     """Compress one contiguous node range with a fresh reference window
     (reference CompressionThread.call, BVGraph.java:2222-2386)."""
@@ -959,6 +998,8 @@ def _compress_shard(
         outd = it.outdegree()
         curr_index = curr_node % cbs
         stats.node_count += 1
+        if pl is not None:
+            pl.update()
 
         _write_code(offsets_obs, s.offset_coding, s.zeta_k, graph_obs.written_bits - stats.last_offset)
         stats.last_offset = graph_obs.written_bits

@@ -53,7 +53,9 @@ class DeviceGraph:
     def from_host(cls, g) -> "DeviceGraph":
         from webgraph_tpu.bits.bitstream import words_to_bytes
 
-        data = words_to_bytes(np.asarray(g._words), g._bit_length)
+        from webgraph_tpu.bits.bitstream import as_u64_words
+
+        data = words_to_bytes(as_u64_words(g._words), g._bit_length)
         words = jnp.asarray(J.words_from_bytes(data))
         if g.bit_offsets is None:
             raise ValueError("device decode requires the offsets index")

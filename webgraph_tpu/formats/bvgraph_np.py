@@ -48,7 +48,9 @@ def _decode_impl(g, want_sizes: bool):
     s = g.settings
     n = g.num_nodes()
     # sentinel words so 64-bit window peeks never run off the stream end
-    words = np.concatenate([g._words, np.zeros(2, dtype=np.uint64)])
+    from webgraph_tpu.bits.bitstream import as_u64_words
+
+    words = np.concatenate([as_u64_words(g._words), np.zeros(2, dtype=np.uint64)])
     if n == 0:
         return np.zeros(n + 1, dtype=np.int64), np.zeros(0, dtype=np.int32), {}
 

@@ -246,7 +246,19 @@ class ImmutableGraph:
         return bool(np.array_equal(a_off, b_off) and np.array_equal(a_succ, b_succ))
 
     def __hash__(self) -> int:
-        return hash((self.num_nodes(),))
+        """Successor-content hash (reference ImmutableGraph.hashCode,
+        ImmutableGraph.java:757): node count folded with each list's
+        contribution, via the CSR arrays."""
+        offsets, succ = self.to_csr()
+        h = hash((self.num_nodes(), len(succ)))
+        if len(succ):
+            a = np.asarray(succ, dtype=np.int64)
+            # order-sensitive polynomial fold, vectorized (31^k mod p weights)
+            p = 2**61 - 1
+            w64 = np.array([pow(31, k, p) for k in range(64)], dtype=np.int64)
+            w = w64[np.arange(len(a)) % 64]
+            h ^= int(((a % p) * w % p).sum() % p)
+        return h
 
     def __repr__(self) -> str:
         try:

@@ -144,34 +144,3 @@ def minimum_redundancy_code_lengths(freqs: np.ndarray) -> np.ndarray:
     return np.asarray(A, dtype=np.int64)
 
 
-def _huffman_lengths(freqs: np.ndarray) -> np.ndarray:
-    import heapq
-
-    n = len(freqs)
-    if n == 1:
-        return np.ones(1, dtype=np.int64)
-    heap = [(int(f), i, None) for i, f in enumerate(freqs)]
-    heapq.heapify(heap)
-    nodes = []
-    while len(heap) > 1:
-        a = heapq.heappop(heap)
-        b = heapq.heappop(heap)
-        node = (a[0] + b[0], n + len(nodes), (a, b))
-        nodes.append(node)
-        heapq.heappush(heap, node)
-    lengths = np.zeros(n, dtype=np.int64)
-
-    def walk(node, depth):
-        if node[2] is None:
-            lengths[node[1]] = max(depth, 1)
-        else:
-            walk(node[2][0], depth + 1)
-            walk(node[2][1], depth + 1)
-
-    import sys
-
-    old = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old, n * 2 + 100))
-    walk(heap[0], 0)
-    sys.setrecursionlimit(old)
-    return lengths

@@ -79,54 +79,121 @@ def transpose(g: ImmutableGraph) -> CSRGraph:
     return CSRGraph.from_arcs(dst, src, n=g.num_nodes())
 
 
+class _BatchSpiller:
+    """Bounded arc buffer spilled as sorted-deduped batch files (reference
+    processBatch, Transform.java:1284-1320)."""
+
+    def __init__(self, batch_size: int, temp_dir, prefix: str):
+        self.batch_size = batch_size
+        self.tmp = temp_dir or tempfile.mkdtemp(prefix=prefix)
+        self.files: list[str] = []
+        self._src = np.empty(batch_size, dtype=np.int64)
+        self._dst = np.empty(batch_size, dtype=np.int64)
+        self._fill = 0
+
+    def add(self, src: np.ndarray, dst: np.ndarray) -> None:
+        k0 = 0
+        while k0 < len(src):
+            take = min(self.batch_size - self._fill, len(src) - k0)
+            self._src[self._fill : self._fill + take] = src[k0 : k0 + take]
+            self._dst[self._fill : self._fill + take] = dst[k0 : k0 + take]
+            self._fill += take
+            k0 += take
+            if self._fill >= self.batch_size:
+                self.spill()
+
+    def spill(self) -> None:
+        if self._fill == 0:
+            return
+        s, d = self._src[: self._fill], self._dst[: self._fill]
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        uniq = np.ones(len(s), dtype=bool)
+        uniq[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        path = os.path.join(self.tmp, f"batch{len(self.files)}.npz")
+        np.savez(path, src=s[uniq], dst=d[uniq])
+        self.files.append(path)
+        self._fill = 0
+
+
+class BatchGraph(ImmutableGraph):
+    """Sequential graph view over sorted spilled arc batches, enumerated by
+    a lazy k-way merge — the reference's BatchGraph
+    (Transform.java:1057-1283).  Only one merge block per batch is resident
+    at a time; ``to_csr()`` (or feeding ``BVGraph.store``) drives the merge.
+    """
+
+    def __init__(self, n: int, batch_files: list[str], block: int = 1 << 16):
+        self._n = n
+        self._files = batch_files
+        self._block = block
+
+    def num_nodes(self) -> int:
+        return self._n
+
+    def random_access(self) -> bool:
+        return False
+
+    def _merged_arcs(self):
+        """Yield (src_chunk, dst_chunk) in globally sorted, deduped order via
+        a k-way merge over the sorted batch files (blockwise loads)."""
+        import heapq
+
+        readers = []
+        for path in self._files:
+            d = np.load(path, mmap_mode="r")
+            if len(d["src"]):
+                readers.append((d["src"], d["dst"]))
+        # heap of (src, dst, reader_idx, pos)
+        heap = [(int(s[0]), int(t[0]), i, 0) for i, (s, t) in enumerate(readers)]
+        heapq.heapify(heap)
+        out_s: list[int] = []
+        out_t: list[int] = []
+        last = (-1, -1)
+        while heap:
+            s0, t0, i, pos = heapq.heappop(heap)
+            if (s0, t0) != last:
+                out_s.append(s0)
+                out_t.append(t0)
+                last = (s0, t0)
+            pos += 1
+            s, t = readers[i]
+            if pos < len(s):
+                heapq.heappush(heap, (int(s[pos]), int(t[pos]), i, pos))
+            if len(out_s) >= self._block:
+                yield np.asarray(out_s, dtype=np.int64), np.asarray(out_t, dtype=np.int64)
+                out_s, out_t = [], []
+        if out_s:
+            yield np.asarray(out_s, dtype=np.int64), np.asarray(out_t, dtype=np.int64)
+
+    def node_iterator(self, start: int = 0):
+        csr = self.to_csr()
+        return CSRGraph(*csr).node_iterator(start)
+
+    def to_csr(self):
+        chunks = list(self._merged_arcs())
+        if not chunks:
+            return CSRGraph.from_lists([[] for _ in range(self._n)]).to_csr()
+        src = np.concatenate([c[0] for c in chunks])
+        dst = np.concatenate([c[1] for c in chunks])
+        return CSRGraph.from_arcs(src, dst, n=self._n, sort=False).to_csr()
+
+
 def transpose_offline(g: ImmutableGraph, batch_size: int = 1 << 20, temp_dir=None) -> CSRGraph:
     """External-memory transpose: scan arcs into bounded batches, sort and
     spill each, k-way merge (reference transposeOffline + BatchGraph,
     Transform.java:1405-1446,1057-1283)."""
     n = g.num_nodes()
-    tmp = temp_dir or tempfile.mkdtemp(prefix="wgt_transpose_")
-    batch_files = []
-    batch_src = np.empty(batch_size, dtype=np.int64)
-    batch_dst = np.empty(batch_size, dtype=np.int64)
-    fill = 0
-    batch_id = 0
-
-    def spill():
-        nonlocal fill, batch_id
-        if fill == 0:
-            return
-        order = np.lexsort((batch_dst[:fill], batch_src[:fill]))
-        path = os.path.join(tmp, f"batch{batch_id}.npz")
-        np.savez(path, src=batch_src[:fill][order], dst=batch_dst[:fill][order])
-        batch_files.append(path)
-        batch_id += 1
-        fill = 0
-
+    spiller = _BatchSpiller(batch_size, temp_dir, "wgt_transpose_")
     it = g.node_iterator()
     while it.has_next():
         x = it.next_int()
-        succ = it.successor_array()[: it.outdegree()]
-        k0 = 0
-        while k0 < len(succ):
-            take = min(batch_size - fill, len(succ) - k0)
-            batch_src[fill : fill + take] = succ[k0 : k0 + take]  # swapped: target becomes source
-            batch_dst[fill : fill + take] = x
-            fill += take
-            k0 += take
-            if fill >= batch_size:
-                spill()
-    spill()
-
-    if not batch_files:
+        succ = np.asarray(it.successor_array()[: it.outdegree()], dtype=np.int64)
+        spiller.add(succ, np.full(len(succ), x, dtype=np.int64))  # swapped
+    spiller.spill()
+    if not spiller.files:
         return CSRGraph.from_lists([[] for _ in range(n)])
-    srcs = []
-    dsts = []
-    for path in batch_files:
-        d = np.load(path)
-        srcs.append(d["src"])
-        dsts.append(d["dst"])
-        os.remove(path)
-    return CSRGraph.from_arcs(np.concatenate(srcs), np.concatenate(dsts), n=n, dedup=True)
+    return CSRGraph(*BatchGraph(n, spiller.files).to_csr())
 
 
 def symmetrize(g: ImmutableGraph) -> CSRGraph:
@@ -184,8 +251,26 @@ def map_graph(g: ImmutableGraph, perm: np.ndarray) -> CSRGraph:
 
 
 def map_offline(g: ImmutableGraph, perm: np.ndarray, batch_size: int = 1 << 20, temp_dir=None) -> CSRGraph:
-    """Batch variant of map (reference mapOffline, Transform.java:1510-1539)."""
-    return map_graph(g, perm)  # CSR pipeline is already bounded by arc arrays
+    """Batch variant of map: mapped arcs are spilled as sorted batches and
+    k-way merged, so peak memory is bounded by ``batch_size`` + the result
+    (reference mapOffline, Transform.java:1510-1539)."""
+    perm = np.asarray(perm, dtype=np.int64)
+    new_n = int(perm.max() + 1) if len(perm) and perm.max() >= 0 else 0
+    spiller = _BatchSpiller(batch_size, temp_dir, "wgt_map_")
+    it = g.node_iterator()
+    while it.has_next():
+        x = it.next_int()
+        px = perm[x]
+        if px < 0:
+            continue
+        succ = np.asarray(it.successor_array()[: it.outdegree()], dtype=np.int64)
+        ps = perm[succ]
+        ps = ps[ps >= 0]
+        spiller.add(np.full(len(ps), px, dtype=np.int64), ps)
+    spiller.spill()
+    if not spiller.files:
+        return CSRGraph.from_lists([[] for _ in range(new_n)])
+    return CSRGraph(*BatchGraph(new_n, spiller.files).to_csr())
 
 
 def union(g1: ImmutableGraph, g2: ImmutableGraph) -> CSRGraph:
