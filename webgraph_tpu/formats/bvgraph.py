@@ -167,9 +167,38 @@ class BVGraph(ImmutableGraph):
         self._n = n
         self._m = m
         self.settings = settings
-        self.bit_offsets = offsets  # int64[n+1] bit offsets, or None (sequential-only)
+        self._offsets_ef = None  # succinct resident index (EliasFanoMonotoneList)
+        self.bit_offsets = offsets
         self._basename = basename
         self._ibs: InputBitStream | None = None
+
+    # ------------------------------------------------------------------
+    # Offsets index: resident storage is a succinct Elias-Fano monotone
+    # list (reference: EliasFanoMonotoneLongBigList, BVGraph.java:81,1594);
+    # random access queries it directly, bulk decoders materialize a
+    # transient dense array via the property.
+    # ------------------------------------------------------------------
+
+    @property
+    def bit_offsets(self):
+        """Dense int64[n+1] bit offsets (materialized on demand from the
+        succinct index), or None for sequential-only loads."""
+        if self._offsets_ef is None:
+            return None
+        return self._offsets_ef.get_array()
+
+    @bit_offsets.setter
+    def bit_offsets(self, v):
+        if v is None:
+            self._offsets_ef = None
+        else:
+            from webgraph_tpu.bits.elias_fano import EliasFanoMonotoneList
+
+            self._offsets_ef = EliasFanoMonotoneList(np.asarray(v, dtype=np.int64))
+
+    def _offset(self, x: int) -> int:
+        """Bit offset of node x's record (one succinct-index query)."""
+        return int(self._offsets_ef.get(x))
 
     # ------------------------------------------------------------------
     # Loading
@@ -282,7 +311,7 @@ class BVGraph(ImmutableGraph):
         return self._m
 
     def random_access(self) -> bool:
-        return self.bit_offsets is not None
+        return self._offsets_ef is not None
 
     def _stream(self) -> InputBitStream:
         return InputBitStream(self._words, self._bit_length)
@@ -290,11 +319,11 @@ class BVGraph(ImmutableGraph):
     def outdegree(self, x: int) -> int:
         if not 0 <= x < self._n:
             raise IndexError(f"node {x} out of range")
-        if self.bit_offsets is None:
+        if self._offsets_ef is None:
             raise RuntimeError("outdegree of a random node requires offsets")
         if self._ibs is None:
             self._ibs = self._stream()
-        self._ibs.position(int(self.bit_offsets[x]))
+        self._ibs.position(self._offset(x))
         return self._ibs.read(self.settings.outdegree_coding, self.settings.zeta_k)
 
     def successors(self, x: int) -> np.ndarray:
@@ -302,7 +331,7 @@ class BVGraph(ImmutableGraph):
         chains recursively (reference BVGraph.successors, :1032-1133)."""
         if not 0 <= x < self._n:
             raise IndexError(f"node {x} out of range")
-        if self.bit_offsets is None:
+        if self._offsets_ef is None:
             raise RuntimeError("random access requires offsets")
         return self._decode_list(x, self._stream())
 
@@ -310,7 +339,7 @@ class BVGraph(ImmutableGraph):
 
     def _decode_list(self, x: int, ibs: InputBitStream) -> np.ndarray:
         s = self.settings
-        ibs.position(int(self.bit_offsets[x]))
+        ibs.position(self._offset(x))
         d = ibs.read(s.outdegree_coding, s.zeta_k)
         if d == 0:
             return np.zeros(0, dtype=np.int32)
@@ -329,7 +358,7 @@ class BVGraph(ImmutableGraph):
             if (block_count & 1) == 0:
                 # implicit tail copy: need the referenced node's outdegree
                 ref_ibs = self._stream()
-                ref_ibs.position(int(self.bit_offsets[x - ref]))
+                ref_ibs.position(self._offset(x - ref))
                 ref_outd = ref_ibs.read(s.outdegree_coding, s.zeta_k)
                 copied += ref_outd - total
             extra_count = d - copied
@@ -675,7 +704,7 @@ class _BVGraphNodeIterator(NodeIterator):
                 lst = g.successors(y)
                 self._window[y % cbs] = lst.astype(np.int32)
                 self._outd[y % cbs] = len(lst)
-            self._ibs.position(int(g.bit_offsets[start]))
+            self._ibs.position(g._offset(start))
 
     def has_next(self) -> bool:
         return self._next < self._bound

@@ -153,14 +153,16 @@ class BlockPlan:
     # per-block arrays (length nb)
     node_start: np.ndarray   # first node of block
     node_count: np.ndarray   # nodes in block (<= lanes)
-    word_start: np.ndarray   # first uint32 word of the block's window
+    word_row: np.ndarray     # window start, in 128-word (4096-bit) rows
     csr_start: np.ndarray    # CSR arc offset of the block's first node
     arc_count: np.ndarray    # arcs emitted by the block
     # static bounds
     lanes: int               # nodes per block capacity (multiple of 128)
-    window_words: int        # VMEM word-window capacity
+    window_words: int        # VMEM word-window capacity (multiple of 128)
     pool_arcs: int           # VMEM output-pool capacity (block arcs)
     halo_arcs: int           # VMEM halo capacity (last `window` lists)
+    extra_arcs: int          # max per-block referenced-node extras total
+    runs_pairs: int          # max per-block keep-run pair total
     max_bc: int              # max copy-block count of any node
     max_ic: int              # max interval count of any node
     max_d: int               # max outdegree
@@ -184,7 +186,8 @@ def plan_blocks(
 
     A block [a, b) must satisfy:
       * b - a <= lanes
-      * the bit span of records a..b-1 fits the word window
+      * the bit span of records a..b-1 (from the row-aligned window start)
+        fits the word window with a 256-word slide/peek margin
       * sum of outdegrees <= pool_arcs
     Single-node blocks always fit by construction provided window_words and
     pool_arcs exceed the largest single record / outdegree (asserted).
@@ -194,24 +197,27 @@ def plan_blocks(
     d = scan.d.astype(np.int64)
     w = g.settings.window_size
 
+    # window start is aligned DOWN to a 128-word row; budget leaves a
+    # 256-word margin (the kernel slides its word tables only up to
+    # (WROWS-2)*128 and peeks 2 extra words past any code)
+    span_budget = (window_words - 256) * 32
     span_bits = np.diff(bo)
-    max_record_words = int((span_bits.max() + 63) // 32) + 4 if n else 0
-    assert max_record_words <= window_words, (
-        f"record of {span_bits.max()} bits exceeds window ({window_words} words)"
+    max_record = int(span_bits.max()) if n else 0
+    assert max_record + 4096 <= span_budget, (
+        f"record of {max_record} bits exceeds window ({window_words} words)"
     )
     assert int(d.max() if n else 0) <= pool_arcs, "outdegree exceeds pool"
 
     csr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(d, out=csr[1:])
 
-    node_start, node_count, word_start, csr_start, arc_count = [], [], [], [], []
-    span_budget = (window_words - 3) * 32  # sentinel slack for 64-bit peeks
+    node_start, node_count, word_row, csr_start, arc_count = [], [], [], [], []
     i = 0
     while i < n:
         j = min(i + lanes, n)
-        # bit-span bound: record bits are relative to the window start word
-        w0 = bo[i] // 32
-        limit_bit = w0 * 32 + span_budget
+        # bit-span bound: record bits are relative to the aligned window row
+        row0 = bo[i] >> 12
+        limit_bit = (row0 << 12) + span_budget
         j = min(j, int(np.searchsorted(bo, limit_bit, side="right") - 1))
         j = max(j, i + 1)
         # arc bound
@@ -220,16 +226,36 @@ def plan_blocks(
         j = min(j, max(i + k, i + 1))
         node_start.append(i)
         node_count.append(j - i)
-        word_start.append(int(w0))
+        word_row.append(int(row0))
         csr_start.append(int(csr[i]))
         arc_count.append(int(csr[j] - csr[i]))
         i = j
+
+    # the halo protocol carries only the previous block's lists: every
+    # non-final block must cover at least `w` nodes
+    if len(node_start) > 1 and w > 0:
+        small = [c for c in node_count[:-1] if c < w]
+        assert not small, (
+            f"block with {min(small)} < window={w} nodes; raise window_words"
+        )
 
     # halo: max over blocks of the outdegree sum of the `w` preceding nodes
     halo = 0
     for a in node_start:
         lo = max(0, a - w)
         halo = max(halo, int(csr[a] - csr[lo]))
+
+    # per-block EXTRAS (referenced nodes only) and RUNS (keep-run pairs)
+    has_ref = scan.ref > 0
+    extras = np.where(has_ref, d - scan.copied.astype(np.int64), 0)
+    runs = np.where(has_ref, (scan.block_count.astype(np.int64) + 1) >> 1, 0)
+    ecum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(extras, out=ecum[1:])
+    rcum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(runs, out=rcum[1:])
+    starts = np.asarray(node_start + [n], dtype=np.int64)
+    extra_arcs = int((ecum[starts[1:]] - ecum[starts[:-1]]).max()) if n else 0
+    runs_pairs = int((rcum[starts[1:]] - rcum[starts[:-1]]).max()) if n else 0
 
     # in-block depth (parents before the block are final => depth 0)
     depth_in = np.zeros(n, dtype=np.int64)
@@ -250,13 +276,15 @@ def plan_blocks(
     return BlockPlan(
         node_start=np.asarray(node_start, np.int32),
         node_count=np.asarray(node_count, np.int32),
-        word_start=np.asarray(word_start, np.int32),
+        word_row=np.asarray(word_row, np.int32),
         csr_start=np.asarray(csr_start, np.int32),
         arc_count=np.asarray(arc_count, np.int32),
         lanes=lanes,
         window_words=window_words,
         pool_arcs=pool_arcs,
         halo_arcs=int(max(128, ((halo + 127) // 128) * 128)),
+        extra_arcs=extra_arcs,
+        runs_pairs=runs_pairs,
         max_bc=int(scan.block_count.max() if n else 0),
         max_ic=int(scan.int_count.max() if n else 0),
         max_d=int(d.max() if n else 0),
