@@ -270,10 +270,12 @@ def pool_fetch_queue(pool32_ref, rtot: int, npf: int, ppos, active):
         half = pool32_ref[pl.ds(h * rtot, rtot), :]
         a = jax.lax.dot_general(
             oh0, half, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(I32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).astype(I32)
         b = jax.lax.dot_general(
             oh1, half, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(I32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).astype(I32)
         xa = a if xa is None else xa | (a << 16)
         xb = b if xb is None else xb | (b << 16)
     # align: slot ppos at column 0.  The own-row gather only lowers within
@@ -361,11 +363,13 @@ def compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt, rtot: int,
         m0 = jax.lax.dot_general(
             oh0, p0.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         m1 = jax.lax.dot_general(
             oh1, p1.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         acc = acc | ((m0 + m1).astype(I32) << (16 * h))
     # merge into pool: slab targets never collide with existing nonzero
     # content (each slot written exactly once across the block), so OR-merge
