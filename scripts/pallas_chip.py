@@ -63,7 +63,8 @@ def build_fn(bv, interpret=False):
             jnp.where(i < m, s * (i * jnp.uint32(MULT) + 1), jnp.uint32(0)),
             dtype=jnp.uint32,
         )
-        chk2 = jnp.sum(offs_out.astype(jnp.uint32) * wo, dtype=jnp.uint32)
+        oo = offs_out.reshape(offs_out.shape[0], -1).astype(jnp.uint32)
+        chk2 = jnp.sum(oo * wo, dtype=jnp.uint32)
         return chk1 + chk2 + salt
 
     return fn, (meta, offs, words, wo), plan

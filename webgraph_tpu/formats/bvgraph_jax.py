@@ -227,10 +227,16 @@ def _run_tiers(n_items, n_heavy, lanes, unroll, init_for, step, apply_fn, pull_f
     jax.jit, static_argnames=("skey", "lanes", "total_out", "n_items", "unroll", "n_heavy")
 )
 def _stage2_blocks(
-    words, pos, block_count, d, ref, skey, lanes, total_out, n_items=None, unroll=4, n_heavy=0
+    words, pos, block_count, d, ref, skey, lanes, total_out, n_items=None, unroll=4, n_heavy=0,
+    pre_d=None,
 ):
     """Decode all copy-block lists; returns (blocks_flat, block_start,
-    pos_after, copied, extra_count, interval-gated cursor updates)."""
+    pos_after, copied, extra_count, interval-gated cursor updates).
+
+    ``pre_d`` (optional, window-size array): outdegrees of the nodes just
+    BEFORE this node range, so reference tails crossing a shard boundary
+    resolve exactly (node-range sharding; reference window priming analog,
+    BVGraph.java:1173-1183)."""
     (_o, _r, _bc, blk_c, _res, zeta_k, _w, minint) = skey
     n = pos.shape[0]
     if n_items is None:
@@ -303,7 +309,11 @@ def _stage2_blocks(
         total_b_node = jnp.zeros(n, I32)
     has_ref = ref > 0
     parent = jnp.where(has_ref, node_ids - ref, 0)
-    tail = jnp.where(has_ref & ((block_count & 1) == 0), d[parent] - total_b_node, 0)
+    dp = d[jnp.clip(parent, 0, None)]
+    if pre_d is not None:
+        w = pre_d.shape[0]
+        dp = jnp.where(parent >= 0, dp, pre_d[jnp.clip(w + parent, 0, w - 1)])
+    tail = jnp.where(has_ref & ((block_count & 1) == 0), dp - total_b_node, 0)
     copied = copied + tail
     extra_count = jnp.where(has_ref, d - copied, d)
     extra_count = jnp.where(d > 0, extra_count, 0)
@@ -484,20 +494,28 @@ def _stage5_extras(
 ):
     """Merge interval expansion + residuals into per-node sorted extras."""
     n = int_count.shape[0]
+    SINK = jnp.int32(2**30)
     node_ids = jnp.arange(n, dtype=I32)
+    # buffers are sized by static maxima; when the actual totals are smaller
+    # (padded SPMD shards), jnp.repeat clamps pads onto the LAST element --
+    # mask them to a sink node so they never alias a real node's extras
     if total_ints > 0 and tot_int_arcs > 0:
         seg = jnp.repeat(jnp.arange(total_ints, dtype=I32), lens, total_repeat_length=tot_int_arcs)
         len_base = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(lens, dtype=I32)])
         within = jnp.arange(tot_int_arcs, dtype=I32) - len_base[seg]
         int_vals = lefts[seg] + within
         node_of_interval = jnp.repeat(node_ids, int_count, total_repeat_length=total_ints)
-        int_nodes = node_of_interval[seg]
+        iv = jnp.arange(tot_int_arcs, dtype=I32) < jnp.sum(lens)
+        int_nodes = jnp.where(iv, node_of_interval[seg], SINK)
+        int_vals = jnp.where(iv, int_vals, 0)
     else:
         int_vals = jnp.zeros(0, dtype=I32)
         int_nodes = jnp.zeros(0, dtype=I32)
     res_nodes = jnp.repeat(node_ids, residual_count, total_repeat_length=total_res)
+    rv = jnp.arange(total_res, dtype=I32) < jnp.sum(residual_count)
+    res_nodes = jnp.where(rv, res_nodes, SINK)
     extra_nodes = jnp.concatenate([int_nodes, res_nodes])
-    extra_vals = jnp.concatenate([int_vals, residuals])
+    extra_vals = jnp.concatenate([int_vals, jnp.where(rv, residuals, 0)])
     extra_nodes, extra_vals = jax.lax.sort((extra_nodes, extra_vals), num_keys=2)
     return extra_nodes, extra_vals
 
@@ -506,7 +524,9 @@ def _stage5_extras(
 def _chain_depth(ref):
     n = ref.shape[0]
     node_ids = jnp.arange(n, dtype=I32)
-    has_ref = ref > 0
+    # a parent BEFORE the node range (node-range sharding ghosts) resolves
+    # nothing locally: treat as depth 0 (its copies are dropped anyway)
+    has_ref = (ref > 0) & (node_ids - ref >= 0)
     parent = jnp.where(has_ref, node_ids - ref, 0)
     depth = jnp.where(has_ref, -1, 0)
 
@@ -533,8 +553,10 @@ def _stage6_prepare(d, ref, block_count, blocks_flat, block_start, extra_count, 
     parent = jnp.where(has_ref, node_ids - ref, 0)
     dp = jnp.where(has_ref, d[parent], 0)
 
-    # flat copy-arc space: for each ref node, dp slots
+    # flat copy-arc space: for each ref node, dp slots; pad slots (static
+    # maxima > actual totals under SPMD sharding) are masked out of `keep`
     seg_node = jnp.repeat(node_ids, dp, total_repeat_length=P)  # node of each slot
+    seg_valid = jnp.arange(P, dtype=I32) < jnp.sum(dp)
     dp_base = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(dp, dtype=I32)])
     within = jnp.arange(P, dtype=I32) - dp_base[seg_node]
     parent_pos = offsets[parent[seg_node]] + within
@@ -550,12 +572,18 @@ def _stage6_prepare(d, ref, block_count, blocks_flat, block_start, extra_count, 
         excl = jnp.where(seg_first > 0, cs_all[jnp.maximum(seg_first - 1, 0)], 0)
         b_cum = cs_all - excl
         bpos = dp_base[b_node] + b_cum
-        valid = b_cum < dp[b_node]
+        valid = (b_cum < dp[b_node]) & (
+            jnp.arange(total_blocks, dtype=I32) < jnp.sum(block_count))
         flags = flags.at[jnp.where(valid, bpos, P)].add(1, mode="drop")
     cs = jnp.cumsum(flags[:P], dtype=I32)
     seg_excl = cs[dp_base[seg_node]] - flags[dp_base[seg_node]]
     runs = cs - seg_excl
-    keep = (runs & 1) == 0
+    keep = ((runs & 1) == 0) & seg_valid
+    # node-range sharding: ghost nodes whose parent precedes the slice have
+    # no parent data -- drop their copies entirely (their lists are garbage
+    # by construction and must not spill past their own CSR region)
+    parent_in = jnp.where(has_ref, node_ids - ref, 0) >= 0
+    keep = keep & parent_in[seg_node]
 
     # rank of each KEPT slot within its node = its position in the merged
     # output among copies (merged with extras later by value sort per round)
@@ -598,6 +626,45 @@ def _stage6_schedule(depth, seg_node, parent_pos, keep, extra_nodes, n_rounds):
     )
     e_hist = jnp.bincount(ed, length=n_rounds)
     return seg_node_r, parent_pos_r, keep_r, e_order, c_hist, e_hist
+
+
+def _counting_rank_within(keys, n_keys: int):
+    """Stable rank of each element within its key class (counting pass)."""
+    m = keys.shape[0]
+    rank = jnp.zeros(m, I32)
+    for b in range(n_keys):
+        is_b = keys == b
+        cnt = jnp.cumsum(is_b.astype(I32))
+        rank = jnp.where(is_b, cnt - 1, rank)
+    return rank
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "c_ofs", "e_ofs"))
+def _stage6_schedule_padded(depth, seg_node, parent_pos, keep, extra_nodes,
+                            n_rounds, c_ofs, e_ofs):
+    """SPMD variant of _stage6_schedule for node-range sharding: each
+    round's entries land at STATIC common offsets (``c_ofs``/``e_ofs``,
+    per-round maxima over shards), padded with sink entries, so one program
+    serves every shard under shard_map."""
+    SINK = jnp.int32(2**30)
+    P_pad = int(c_ofs[-1])
+    E_pad = int(e_ofs[-1])
+    c_base = jnp.asarray(np.asarray(c_ofs[:-1], dtype=np.int32))
+    e_base = jnp.asarray(np.asarray(e_ofs[:-1], dtype=np.int32))
+    cd = depth[seg_node]
+    cpos = c_base[cd] + _counting_rank_within(cd, n_rounds)
+    seg_node_r = jnp.full(P_pad, SINK, I32).at[cpos].set(
+        seg_node, mode="drop", unique_indices=True)
+    parent_pos_r = jnp.zeros(P_pad, I32).at[cpos].set(
+        parent_pos, mode="drop", unique_indices=True)
+    keep_r = jnp.zeros(P_pad, bool).at[cpos].set(
+        keep, mode="drop", unique_indices=True)
+    ed = depth[extra_nodes]
+    epos = e_base[ed] + _counting_rank_within(ed, n_rounds)
+    E = extra_nodes.shape[0]
+    e_order = jnp.full(E_pad, E, I32).at[epos].set(
+        jnp.arange(E, dtype=I32), mode="drop", unique_indices=True)
+    return seg_node_r, parent_pos_r, keep_r, e_order
 
 
 def _group_first(sorted_keys):
@@ -666,11 +733,12 @@ def make_decode_fn(settings, sizes: dict, n: int, lanes: int = DEFAULT_LANES):
         s.min_interval_length,
     )
 
-    def fn(words, bit_offsets):
+    def fn(words, bit_offsets, pre_d=None):
         d, ref, block_count, pos, _, _ = _stage1(words, bit_offsets[:n], skey)
         (blocks_flat, block_start, pos, copied, extra_count, int_count, _) = _stage2_blocks(
             words, pos, block_count, d, ref, skey, lanes, sizes["total_blocks"],
             n_items=sizes["n_items_blocks"], n_heavy=sizes.get("n_heavy_blocks", 0),
+            pre_d=pre_d,
         )
         lefts, lens, int_start, pos, residual_count, _, _ = _stage3_intervals(
             words, pos, int_count, extra_count, skey, lanes, sizes["total_ints"],
@@ -712,6 +780,89 @@ def make_decode_fn(settings, sizes: dict, n: int, lanes: int = DEFAULT_LANES):
         return offsets, out[: sizes["m"]]
 
     return jax.jit(fn)
+
+
+def make_shard_decode_fn(settings, sizes: dict, n: int, c_ofs, e_ofs,
+                         lanes: int = DEFAULT_LANES):
+    """Jittable decode of one NODE-RANGE SHARD of a BVGraph (SPMD body for
+    shard_map; reference analog: window priming at BVGraphNodeIterator(from),
+    BVGraph.java:1173-1183, and the per-thread splitNodeIterators ranges).
+
+    The shard decodes its slice with LOCAL node ids; since every in-record
+    anchor is relative to the node id, the decoded successors come out
+    uniformly shifted by -node_base and are re-shifted at the end.  ``pre_d``
+    carries the outdegrees of the window_size nodes preceding the slice so
+    implicit tails crossing the boundary resolve exactly; ghost records
+    whose ancestors precede the slice decode structurally but their copies
+    are dropped (see _stage6_prepare) -- callers include a ghost margin of
+    window_size * max_chain_depth nodes so all REAL nodes decode exactly.
+
+    ``sizes``/``c_ofs``/``e_ofs`` are per-field maxima over shards so one
+    compiled program serves all of them."""
+    s = settings
+    skey = (
+        s.outdegree_coding,
+        s.reference_coding,
+        s.block_count_coding,
+        s.block_coding,
+        s.residual_coding,
+        s.zeta_k,
+        s.window_size,
+        s.min_interval_length,
+    )
+    n_rounds = sizes["max_depth"] + 1
+    c_ofs = tuple(int(x) for x in c_ofs)
+    e_ofs = tuple(int(x) for x in e_ofs)
+
+    def fn(words, bit_offsets, pre_d, node_base):
+        d, ref, block_count, pos, _, _ = _stage1(words, bit_offsets[:n], skey)
+        (blocks_flat, block_start, pos, copied, extra_count, int_count, _) = _stage2_blocks(
+            words, pos, block_count, d, ref, skey, lanes, sizes["total_blocks"],
+            n_items=sizes["n_items_blocks"], n_heavy=sizes.get("n_heavy_blocks", 0),
+            pre_d=pre_d,
+        )
+        lefts, lens, int_start, pos, residual_count, _, _ = _stage3_intervals(
+            words, pos, int_count, extra_count, skey, lanes, sizes["total_ints"],
+            n_items=sizes["n_items_ints"], n_heavy=sizes.get("n_heavy_ints", 0),
+        )
+        residuals, res_start = _stage4_residuals(
+            words, pos, residual_count, skey, lanes, sizes["total_res"],
+            n_items=sizes["n_items_res"], n_heavy=sizes.get("n_heavy_res", 0),
+        )
+        extra_nodes, extra_vals = _stage5_extras(
+            lefts, lens, int_count, residuals, residual_count, res_start,
+            sizes["tot_int_arcs"], sizes["m"], sizes["total_ints"], sizes["total_res"],
+        )
+        depth, _ = _chain_depth(ref)
+        offsets, seg_node, parent_pos, keep = _stage6_prepare(
+            d, ref, block_count, blocks_flat, block_start, extra_count,
+            sizes["m"], sizes["total_blocks"], sizes["P"], 0,
+        )
+        seg_node_r, parent_pos_r, keep_r, e_order = _stage6_schedule_padded(
+            depth, seg_node, parent_pos, keep, extra_nodes, n_rounds,
+            c_ofs, e_ofs,
+        )
+        E = extra_nodes.shape[0]
+        ev = e_order < E
+        eo = jnp.minimum(e_order, E - 1)
+        e_nodes_r = jnp.where(ev, extra_nodes[eo], jnp.int32(2**30))
+        e_vals_r = jnp.where(ev, extra_vals[eo], 0)
+        out = jnp.zeros(sizes["m"] + 1, dtype=I32)
+        out = _round0_commit(out, e_nodes_r[: e_ofs[1]], e_vals_r[: e_ofs[1]], offsets)
+        for t in range(1, n_rounds):
+            out = _roundt_commit(
+                out,
+                seg_node_r[c_ofs[t] : c_ofs[t + 1]],
+                parent_pos_r[c_ofs[t] : c_ofs[t + 1]],
+                keep_r[c_ofs[t] : c_ofs[t + 1]],
+                e_nodes_r[e_ofs[t] : e_ofs[t + 1]],
+                e_vals_r[e_ofs[t] : e_ofs[t + 1]],
+                offsets,
+            )
+        # local ids shift every anchored value by -node_base: undo uniformly
+        return offsets, out[: sizes["m"]] + node_base
+
+    return fn
 
 
 def decode_to_csr(dg: DeviceGraph, lanes: int = DEFAULT_LANES, sizes: dict | None = None):

@@ -254,20 +254,25 @@ class KernelCfg:
 QDEPTH = 16
 
 
-def pool_fetch_queue(pool32_ref, rtot: int, npf: int, ppos, active):
+def pool_fetch_queue(pool32_ref, rtot: int, npf: int, ppos, active,
+                     row0: int = 0, rows: int | None = None):
     """Fetch each lane's 16-deep queue of pool slots [ppos, ppos+16).
 
     pool32_ref: (npf*rtot, 128) f32 scratch mirroring the pool as 16-bit
-    halves (half h at rows [h*rtot, (h+1)*rtot)).  Returns (16,1024) i32.
+    halves (half h at rows [h*rtot, (h+1)*rtot)).  ``row0``/``rows`` bound
+    the one-hot contraction to the pool region all cursors target (static).
+    Returns (16,1024) i32.
     """
-    r0 = flat(jnp.where(active, ppos >> 7, 0))
-    r0 = jnp.clip(r0, 0, rtot - 1)
-    iota = jax.lax.broadcasted_iota(I32, (LANES, rtot), 1)
+    if rows is None:
+        rows = rtot
+    r0 = flat(jnp.where(active, ppos >> 7, row0)) - row0
+    r0 = jnp.clip(r0, 0, rows - 1)
+    iota = jax.lax.broadcasted_iota(I32, (LANES, rows), 1)
     oh0 = (iota == r0.T).astype(jnp.float32)
     oh1 = (iota == r0.T + 1).astype(jnp.float32)
     xa = xb = None
     for h in range(npf):
-        half = pool32_ref[pl.ds(h * rtot, rtot), :]
+        half = pool32_ref[pl.ds(h * rtot + row0, rows), :]
         a = jax.lax.dot_general(
             oh0, half, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -322,13 +327,18 @@ def pool32_refresh(pool_ref, pool32_ref, rtot: int, npf: int,
 
 
 def compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt, rtot: int,
-                 npf: int, row0: int = 0, nrows: int = SLAB):
+                 npf: int, row0: int = 0, nrows: int = SLAB,
+                 reg0: int = 0, regrows: int | None = None):
     """Scatter lane-major slab emissions into the pool.
 
     colbuf rows [row0, row0+cnt_l) of column l go to pool slots
     [pre_l, pre_l+cnt_l); cnt_l <= nrows.  pre is the ABSOLUTE pool slot.
+    ``reg0``/``regrows`` (static) bound the one-hot scatter and the mirror
+    refresh to the pool region all targets fall in.
     Updates the pool and its f32 half-plane mirror.
     """
+    if regrows is None:
+        regrows = rtot
     A = colbuf_ref[row0 : row0 + nrows, :].T  # (1024, nrows) lane-major
     if nrows < SLAB:
         A = jnp.concatenate([A, jnp.zeros((LANES, SLAB - nrows), I32)], axis=1)
@@ -349,11 +359,11 @@ def compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt, rtot: int,
     live = (cntT > 0)
     B0 = jnp.where(keep0 & live, B, 0)
     B1 = jnp.where((~keep0) & live, B, 0)
-    r0 = flat(pre >> 7)  # (1,1024) absolute pool row
-    iota = jax.lax.broadcasted_iota(I32, (rtot, LANES), 0)
+    r0 = flat(pre >> 7) - reg0  # (1,1024) region-relative pool row
+    iota = jax.lax.broadcasted_iota(I32, (regrows, LANES), 0)
     oh0 = (iota == r0).astype(jnp.float32)
     oh1 = (iota == r0 + 1).astype(jnp.float32)
-    acc = jnp.zeros((rtot, SLAB), I32)
+    acc = jnp.zeros((regrows, SLAB), I32)
     for h in range(npf):
         if npf == 1:
             p0, p1 = B0, B1
@@ -373,9 +383,9 @@ def compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt, rtot: int,
         acc = acc | ((m0 + m1).astype(I32) << (16 * h))
     # merge into pool: slab targets never collide with existing nonzero
     # content (each slot written exactly once across the block), so OR-merge
-    new = pool_ref[pl.ds(0, rtot), :] | acc
-    pool_ref[pl.ds(0, rtot), :] = new
-    pool32_refresh(pool_ref, pool32_ref, rtot, npf, 0, rtot)
+    new = pool_ref[pl.ds(reg0, regrows), :] | acc
+    pool_ref[pl.ds(reg0, regrows), :] = new
+    pool32_refresh(pool_ref, pool32_ref, rtot, npf, reg0, regrows)
 
 
 # ----------------------------------------------------------------------
@@ -460,7 +470,7 @@ def build_kernel(cfg: KernelCfg):
         li = lane_iota()
         valid = li < cnt
         node_gid = node0 + li
-        offs = unflat(offs_ref[0, :])  # bit offsets relative to the window
+        offs = offs_ref[0]  # (8,128) bit offsets relative to the window
 
         def gw_vec():
             return jnp.broadcast_to(gwst_ref[:], (GROUPS, GLANES))
@@ -582,7 +592,7 @@ def build_kernel(cfg: KernelCfg):
         jax.lax.fori_loop(0, cfg.max_depth + 1, round_body, 0)
 
         # ================= P4: outputs ====================================
-        offs_out_ref[:, :] = flat(csr0 + jnp.where(valid, csr_excl, csr_incl))
+        offs_out_ref[0] = csr0 + jnp.where(valid, csr_excl, csr_incl)
         block_arcs = jnp.max(jnp.where(valid, csr_incl, 0))
         _p4_output(cfg, cnt, align, block_arcs, d, csr_excl, valid, li,
                    pool_ref, pool32_ref, succ_ref, carry_ref, smem_ref,
@@ -623,10 +633,12 @@ def _p1b_blocks(cfg, read_blk, read_g, win, read_code_sync, win_pos,
         cnt = jnp.clip(cnt_pairs - flushed_pairs, 0, HALFSLAB)
         compact_slab(colbuf_ref, pool_ref, pool32_ref,
                      S_RUNS0 + runs_base + base, cnt, POOL_ROWS, NPF,
-                     row0=0, nrows=HALFSLAB)
+                     row0=0, nrows=HALFSLAB,
+                     reg0=HROWS + FROWS + EROWS, regrows=RROWS)
         compact_slab(colbuf_ref, pool_ref, pool32_ref,
                      S_RUNS1 + runs_base + base, cnt, POOL_ROWS, NPF,
-                     row0=HALFSLAB, nrows=HALFSLAB)
+                     row0=HALFSLAB, nrows=HALFSLAB,
+                     reg0=HROWS + FROWS + EROWS + RROWS, regrows=RROWS)
 
     runs_cnt = jnp.where(has_ref, (bc + 1) >> 1, 0)
 
@@ -729,6 +741,7 @@ def _p2_extras(cfg, read_res, read_g, wtab_ref, gw_vec, slide,
     (_o, _r, _bc, _blk, _res, zeta_k, window, minint) = cfg.skey
     NPF = cfg.npf
     POOL_ROWS = cfg.pool_rows
+    HROWS, FROWS, EROWS = cfg.halo_rows, cfg.final_rows, cfg.extra_rows
     NEED = 48
     z = jnp.zeros_like(extra)
     participate = valid & (extra > 0)
@@ -741,7 +754,7 @@ def _p2_extras(cfg, read_res, read_g, wtab_ref, gw_vec, slide,
         cnt = jnp.clip(extra - gs, 0, SLAB)
         cnt = jnp.where(participate, cnt, 0)
         compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt,
-                     POOL_ROWS, NPF)
+                     POOL_ROWS, NPF, reg0=HROWS, regrows=FROWS + EROWS)
 
     def cond(st):
         emitted = st[0]
@@ -859,18 +872,23 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
         cnt = jnp.clip(d - gs, 0, SLAB)
         cnt = jnp.where(part, cnt, 0)
         compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt,
-                     POOL_ROWS, NPF)
+                     POOL_ROWS, NPF, reg0=HROWS, regrows=FROWS)
 
     def fetch_all(ppos, epos, rpos):
         cq = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF,
-                              jnp.clip(ppos, 0, None), part)
+                              jnp.clip(ppos, 0, None), part,
+                              row0=0, rows=HROWS + FROWS)
         eq = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF,
-                              jnp.clip(epos, S_EXTRA, None), part)
+                              jnp.clip(epos, S_EXTRA, None), part,
+                              row0=HROWS + FROWS, rows=EROWS)
         rqs = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF,
-                               jnp.clip(rpos, S_RUNS0, None), part)
+                               jnp.clip(rpos, S_RUNS0, None), part,
+                               row0=HROWS + FROWS + EROWS, rows=RROWS)
         rql = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF,
                                jnp.clip(rpos, S_RUNS0, None) +
-                               (S_RUNS1 - S_RUNS0), part)
+                               (S_RUNS1 - S_RUNS0), part,
+                               row0=HROWS + FROWS + EROWS + RROWS,
+                               rows=RROWS)
         return cq, eq, rqs, rql
 
     def cond(st):
@@ -947,8 +965,8 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
         gs = jnp.where(fill2 == SLAB, gs + SLAB, gs)
         fill2 = jnp.where(fill2 == SLAB, 0, fill2)
 
-        # ---- scheduled / demand refetch ---------------------------------
-        refetch = (go == 0) | (since2 >= 8)
+        # ---- demand refetch (queues are 16 deep; stalls force go == 0) --
+        refetch = (go == 0)
 
         def do_fetch(ops):
             (cq, eq, rqs, rql, cqp, cqn, eqp, eqn, rqn) = ops
@@ -1120,11 +1138,11 @@ def _compiled(cfg: KernelCfg, interpret: bool):
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # meta
-            pl.BlockSpec((1, LANES), lambda t: (t, 0)),         # offs
+            pl.BlockSpec((1, GROUPS, GLANES), lambda t: (t, 0, 0)),  # offs
             pl.BlockSpec(memory_space=pltpu.ANY),               # words
         ],
         out_specs=[
-            pl.BlockSpec((1, LANES), lambda t: (t, 0)),         # offs_out
+            pl.BlockSpec((1, GROUPS, GLANES), lambda t: (t, 0, 0)),  # offs_out
             pl.BlockSpec(memory_space=pltpu.ANY),               # succ
         ],
         scratch_shapes=[
@@ -1143,7 +1161,7 @@ def _compiled(cfg: KernelCfg, interpret: bool):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nb, LANES), I32),
+            jax.ShapeDtypeStruct((nb, GROUPS, GLANES), I32),
             jax.ShapeDtypeStruct((cfg.m_pad, 128), I32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1180,6 +1198,7 @@ def prepare(g, *, lanes: int = LANES, window_words: int = 4096,
     for t in range(nb):
         a, c = int(plan.node_start[t]), int(plan.node_count[t])
         offs[t, :c] = bo[a : a + c] - (int(plan.word_row[t]) << 12)
+    offs = offs.reshape(max(nb, 1), GROUPS, GLANES)
 
     w32 = _u32_words(g)
     wrows_total = int(plan.word_row.max(initial=0)) + cfg.wrows
@@ -1205,7 +1224,7 @@ def decode_to_csr(g, *, interpret: bool | None = None, lanes: int = LANES,
         g, lanes=lanes, window_words=window_words, pool_arcs=pool_arcs)
     fn = _compiled(cfg, bool(interpret))
     offs_out, succ = fn(meta, offs, words)
-    offs_out = np.asarray(offs_out)
+    offs_out = np.asarray(offs_out).reshape(-1, LANES)
     succ = np.asarray(succ).reshape(-1)
 
     n, m = plan.n, plan.m
