@@ -550,11 +550,17 @@ def _stage6_prepare(d, ref, block_count, blocks_flat, block_start, extra_count, 
     node_ids = jnp.arange(n, dtype=I32)
     offsets = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(d, dtype=I32)])
     has_ref = ref > 0
-    parent = jnp.where(has_ref, node_ids - ref, 0)
-    dp = jnp.where(has_ref, d[parent], 0)
+    # node-range sharding: a ghost whose parent precedes the slice has no
+    # parent data — give it ZERO copy slots (its copies are dropped; the
+    # host plan in parallel/shard.py uses the same dp semantics), and clip
+    # the gather so device indexing matches the host model
+    parent_ok = has_ref & (node_ids - ref >= 0)
+    parent = jnp.where(parent_ok, node_ids - ref, 0)
+    dp = jnp.where(parent_ok, d[parent], 0)
 
     # flat copy-arc space: for each ref node, dp slots; pad slots (static
     # maxima > actual totals under SPMD sharding) are masked out of `keep`
+    # and routed to a sink class by _stage6_schedule_padded via `seg_valid`
     seg_node = jnp.repeat(node_ids, dp, total_repeat_length=P)  # node of each slot
     seg_valid = jnp.arange(P, dtype=I32) < jnp.sum(dp)
     dp_base = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(dp, dtype=I32)])
@@ -579,15 +585,10 @@ def _stage6_prepare(d, ref, block_count, blocks_flat, block_start, extra_count, 
     seg_excl = cs[dp_base[seg_node]] - flags[dp_base[seg_node]]
     runs = cs - seg_excl
     keep = ((runs & 1) == 0) & seg_valid
-    # node-range sharding: ghost nodes whose parent precedes the slice have
-    # no parent data -- drop their copies entirely (their lists are garbage
-    # by construction and must not spill past their own CSR region)
-    parent_in = jnp.where(has_ref, node_ids - ref, 0) >= 0
-    keep = keep & parent_in[seg_node]
 
     # rank of each KEPT slot within its node = its position in the merged
     # output among copies (merged with extras later by value sort per round)
-    return offsets, seg_node, parent_pos, keep
+    return offsets, seg_node, parent_pos, keep, seg_valid
 
 
 def _counting_rank(keys, n_keys: int):
@@ -640,28 +641,43 @@ def _counting_rank_within(keys, n_keys: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_rounds", "c_ofs", "e_ofs"))
-def _stage6_schedule_padded(depth, seg_node, parent_pos, keep, extra_nodes,
-                            n_rounds, c_ofs, e_ofs):
+def _stage6_schedule_padded(depth, seg_node, parent_pos, keep, slot_valid,
+                            extra_nodes, n_rounds, c_ofs, e_ofs):
     """SPMD variant of _stage6_schedule for node-range sharding: each
     round's entries land at STATIC common offsets (``c_ofs``/``e_ofs``,
     per-round maxima over shards), padded with sink entries, so one program
-    serves every shard under shard_map."""
+    serves every shard under shard_map.
+
+    Pad slots (``~slot_valid`` copy slots; ``extra_nodes >= n`` sink
+    extras) must NOT consume ranks inside a real depth class — the static
+    buffers clamp them onto the last real node, which would overflow the
+    per-round regions and overwrite real entries.  They are routed to a
+    dedicated sink class whose positions start at the end of the padded
+    buffer, so ``mode="drop"`` discards them with unique indices."""
     SINK = jnp.int32(2**30)
+    n = depth.shape[0]
+    P = seg_node.shape[0]
+    E = extra_nodes.shape[0]
     P_pad = int(c_ofs[-1])
     E_pad = int(e_ofs[-1])
     c_base = jnp.asarray(np.asarray(c_ofs[:-1], dtype=np.int32))
     e_base = jnp.asarray(np.asarray(e_ofs[:-1], dtype=np.int32))
-    cd = depth[seg_node]
-    cpos = c_base[cd] + _counting_rank_within(cd, n_rounds)
+    c_pad = ~slot_valid
+    cd = jnp.where(c_pad, n_rounds, depth[jnp.clip(seg_node, 0, n - 1)])
+    cpos_real = c_base[jnp.minimum(cd, n_rounds - 1)] + _counting_rank_within(
+        cd, n_rounds)
+    cpos = jnp.where(c_pad, P_pad + jnp.arange(P, dtype=I32), cpos_real)
     seg_node_r = jnp.full(P_pad, SINK, I32).at[cpos].set(
         seg_node, mode="drop", unique_indices=True)
     parent_pos_r = jnp.zeros(P_pad, I32).at[cpos].set(
         parent_pos, mode="drop", unique_indices=True)
     keep_r = jnp.zeros(P_pad, bool).at[cpos].set(
         keep, mode="drop", unique_indices=True)
-    ed = depth[extra_nodes]
-    epos = e_base[ed] + _counting_rank_within(ed, n_rounds)
-    E = extra_nodes.shape[0]
+    e_pad = extra_nodes >= n
+    ed = jnp.where(e_pad, n_rounds, depth[jnp.clip(extra_nodes, 0, n - 1)])
+    epos_real = e_base[jnp.minimum(ed, n_rounds - 1)] + _counting_rank_within(
+        ed, n_rounds)
+    epos = jnp.where(e_pad, E_pad + jnp.arange(E, dtype=I32), epos_real)
     e_order = jnp.full(E_pad, E, I32).at[epos].set(
         jnp.arange(E, dtype=I32), mode="drop", unique_indices=True)
     return seg_node_r, parent_pos_r, keep_r, e_order
@@ -753,7 +769,7 @@ def make_decode_fn(settings, sizes: dict, n: int, lanes: int = DEFAULT_LANES):
             sizes["tot_int_arcs"], sizes["m"], sizes["total_ints"], sizes["total_res"],
         )
         depth, _ = _chain_depth(ref)
-        offsets, seg_node, parent_pos, keep = _stage6_prepare(
+        offsets, seg_node, parent_pos, keep, _ = _stage6_prepare(
             d, ref, block_count, blocks_flat, block_start, extra_count,
             sizes["m"], sizes["total_blocks"], sizes["P"], 0,
         )
@@ -834,13 +850,13 @@ def make_shard_decode_fn(settings, sizes: dict, n: int, c_ofs, e_ofs,
             sizes["tot_int_arcs"], sizes["m"], sizes["total_ints"], sizes["total_res"],
         )
         depth, _ = _chain_depth(ref)
-        offsets, seg_node, parent_pos, keep = _stage6_prepare(
+        offsets, seg_node, parent_pos, keep, seg_valid = _stage6_prepare(
             d, ref, block_count, blocks_flat, block_start, extra_count,
             sizes["m"], sizes["total_blocks"], sizes["P"], 0,
         )
         seg_node_r, parent_pos_r, keep_r, e_order = _stage6_schedule_padded(
-            depth, seg_node, parent_pos, keep, extra_nodes, n_rounds,
-            c_ofs, e_ofs,
+            depth, seg_node, parent_pos, keep, seg_valid, extra_nodes,
+            n_rounds, c_ofs, e_ofs,
         )
         E = extra_nodes.shape[0]
         ev = e_order < E
@@ -935,7 +951,7 @@ def decode_to_csr(dg: DeviceGraph, lanes: int = DEFAULT_LANES, sizes: dict | Non
     if P is None:
         P = int(jnp.sum(jnp.where(ref > 0, d[jnp.maximum(jnp.arange(n, dtype=I32) - ref, 0)], 0)))
 
-    offsets, seg_node, parent_pos, keep = _stage6_prepare(
+    offsets, seg_node, parent_pos, keep, _ = _stage6_prepare(
         d, ref, block_count, blocks_flat, block_start, extra_count, m, total_blocks, P, 0
     )
     n_rounds = max_depth + 1

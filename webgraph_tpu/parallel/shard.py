@@ -129,9 +129,11 @@ def plan_node_shards(g, num_shards: int) -> ShardPlan:
         dep = _slice_depth(ref[sl])
         per_shard_depth.append(dep)
         per_shard_slice.append(sl)
-        # clamped parent outdegree (device gather semantics)
-        pl = np.where(has_ref[sl], np.maximum(np.arange(Lr) - ref[sl], 0), 0)
-        dp = np.where(has_ref[sl], d[A + pl], 0)
+        # parent outdegree: ghosts whose parent precedes the slice get ZERO
+        # copy slots (device _stage6_prepare uses the same semantics)
+        in_sl = np.arange(Lr) - ref[sl] >= 0
+        pl = np.where(has_ref[sl] & in_sl, np.arange(Lr) - ref[sl], 0)
+        dp = np.where(has_ref[sl] & in_sl, d[A + pl], 0)
         fields["total_blocks"] = max(fields["total_blocks"], int(bc[sl].sum()))
         fields["m"] = max(fields["m"], int(d[sl].sum()))
         fields["total_ints"] = max(fields["total_ints"], int(ic[sl].sum()))
@@ -152,8 +154,9 @@ def plan_node_shards(g, num_shards: int) -> ShardPlan:
     for sh in range(S):
         sl, dep = per_shard_slice[sh], per_shard_depth[sh]
         Lr = sl.stop - sl.start
-        pl = np.where(has_ref[sl], np.maximum(np.arange(Lr) - ref[sl], 0), 0)
-        dp = np.where(has_ref[sl], d[sl.start + pl], 0)
+        in_sl = np.arange(Lr) - ref[sl] >= 0
+        pl = np.where(has_ref[sl] & in_sl, np.arange(Lr) - ref[sl], 0)
+        dp = np.where(has_ref[sl] & in_sl, d[sl.start + pl], 0)
         for t in range(n_rounds):
             sel = dep == t
             c_max[t] = max(c_max[t], int(dp[sel].sum()))
