@@ -228,11 +228,15 @@ class KernelCfg:
     max_bc: int            # max copy-block count (parse walk bound)
     max_ic: int            # max interval count
     max_depth: int         # max in-block chain depth
-    npf: int               # f32 pool-mirror planes: 1 (values < 2^24) or 2
+    npf: int               # bf16 byte planes in the pool mirror (1..4)
     num_blocks: int
     n: int
     m_pad: int             # padded successor output length (rows of 128)
     need_bits: int         # window bits required before decoding any code
+    phase_mask: int = 15   # perf probes only: bit0=P1b, bit1=P2, bit2=P3, bit3=P4
+    p2_unroll: int = 8     # P2 merged emissions per lane per loop trip
+    p3_unroll: int = 8     # P3 merged emissions per lane per loop trip
+    debug_counters: bool = False  # emit per-block trip/refetch counters
 
     @property
     def pool_rows(self):
@@ -243,46 +247,47 @@ class KernelCfg:
 # pool-paged value streams (P3 copies/extras, P1 runs)
 #
 # A pool is a (ROWS, 128) i32 VMEM region.  Reads are per-lane sequential:
-# a *paged queue* (16,1024) holds 16 slots starting at the lane's cursor.
-# Cross-lane movement uses EXACT f32 one-hot MXU matmuls: pool values are
-# mirrored as 16-bit halves in f32 (each half < 2^16 < 2^24, so one-hot
-# sums are exact); a single own-row `take_along_axis` gather aligns the
-# fetched 256-slot row pair to the cursor.  (Byte-plane int8 layouts need
-# lane-splitting shape casts Mosaic does not support.)
+# a *paged queue* (QDEPTH,1024) holds QDEPTH slots starting at the lane's
+# cursor.  Cross-lane movement uses EXACT bf16 one-hot MXU matmuls: pool
+# values are mirrored as 8-bit byte planes in bf16 (bytes < 2^8 are exact
+# in bf16, and every one-hot product lands in a distinct output slot, so
+# the f32 accumulation is exact too — measured 2.2x faster than the f32
+# HIGHEST 16-bit-half scheme, scripts/pallas_fetch_bench.py); a single
+# own-row `take_along_axis` gather aligns the fetched 256-slot row pair to
+# the cursor.
 # ----------------------------------------------------------------------
 
 QDEPTH = 16
+BF16 = jnp.bfloat16
 
 
 def pool_fetch_queue(pool32_ref, rtot: int, npf: int, ppos, active,
                      row0: int = 0, rows: int | None = None):
-    """Fetch each lane's 16-deep queue of pool slots [ppos, ppos+16).
+    """Fetch each lane's QDEPTH-deep queue of pool slots [ppos, ppos+QDEPTH).
 
-    pool32_ref: (npf*rtot, 128) f32 scratch mirroring the pool as 16-bit
-    halves (half h at rows [h*rtot, (h+1)*rtot)).  ``row0``/``rows`` bound
-    the one-hot contraction to the pool region all cursors target (static).
-    Returns (16,1024) i32.
+    pool32_ref: (npf*rtot, 128) bf16 scratch mirroring the pool as 8-bit
+    byte planes (plane h at rows [h*rtot, (h+1)*rtot)).  ``row0``/``rows``
+    bound the one-hot contraction to the pool region all cursors target
+    (static).  Returns (QDEPTH,1024) i32.
     """
     if rows is None:
         rows = rtot
     r0 = flat(jnp.where(active, ppos >> 7, row0)) - row0
     r0 = jnp.clip(r0, 0, rows - 1)
     iota = jax.lax.broadcasted_iota(I32, (LANES, rows), 1)
-    oh0 = (iota == r0.T).astype(jnp.float32)
-    oh1 = (iota == r0.T + 1).astype(jnp.float32)
+    oh0 = (iota == r0.T).astype(BF16)
+    oh1 = (iota == r0.T + 1).astype(BF16)
     xa = xb = None
     for h in range(npf):
         half = pool32_ref[pl.ds(h * rtot + row0, rows), :]
         a = jax.lax.dot_general(
             oh0, half, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).astype(I32)
+            preferred_element_type=jnp.float32).astype(I32)
         b = jax.lax.dot_general(
             oh1, half, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).astype(I32)
-        xa = a if xa is None else xa | (a << 16)
-        xb = b if xb is None else xb | (b << 16)
+            preferred_element_type=jnp.float32).astype(I32)
+        xa = a if xa is None else xa | (a << (8 * h))
+        xb = b if xb is None else xb | (b << (8 * h))
     # align: slot ppos at column 0.  The own-row gather only lowers within
     # a single 128-lane vreg, so gather the two row halves separately and
     # select (source column sh+c is in xa below 128, in xb above).
@@ -296,15 +301,28 @@ def pool_fetch_queue(pool32_ref, rtot: int, npf: int, ppos, active,
     return qT.T  # (16,1024)
 
 
-def queue_head(q):
-    """Row 0 of the queue as (8,128)."""
-    return q[0:1, :].reshape(GROUPS, GLANES)
+def queue_rows(q):
+    """(QDEPTH,1024) queue -> tuple of QDEPTH (8,128) row values.
+
+    Holding the queue as separate vreg values makes the per-lane cursor a
+    plain integer: reads are a log2(QDEPTH)-level select tree (sel_row) and
+    advancing is free — no per-advance cross-sublane rolls at all."""
+    return tuple(q[k:k + 1, :].reshape(GROUPS, GLANES)
+                 for k in range(QDEPTH))
 
 
-def queue_advance(q, step):
-    """Shift the queue down by step (0 or 1) per lane; step (8,128) bool."""
-    s = flat(step.astype(I32)) > 0
-    return jnp.where(s, pltpu.roll(q, QDEPTH - 1, 0), q)
+def sel_row(rows, idx):
+    """rows[idx_l] per lane; idx (8,128) int32 clipped to [0, len(rows))."""
+    level = list(rows)
+    bit = 0
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level), 2):
+            nxt.append(jnp.where(((idx >> bit) & 1) > 0,
+                                 level[i + 1], level[i]))
+        level = nxt
+        bit += 1
+    return level[0]
 
 
 # ----------------------------------------------------------------------
@@ -316,14 +334,11 @@ SLAB = 128
 
 def pool32_refresh(pool_ref, pool32_ref, rtot: int, npf: int,
                    row0, nrows: int):
-    """Mirror pool rows [row0, row0+nrows) into the f32 half-planes."""
+    """Mirror pool rows [row0, row0+nrows) into the bf16 byte planes."""
     new = pool_ref[pl.ds(row0, nrows), :]
-    if npf == 1:
-        pool32_ref[pl.ds(row0, nrows), :] = new.astype(jnp.float32)
-    else:
-        pool32_ref[pl.ds(row0, nrows), :] = (new & 0xFFFF).astype(jnp.float32)
-        pool32_ref[pl.ds(rtot + row0, nrows), :] = (
-            (new >> 16) & 0xFFFF).astype(jnp.float32)
+    for h in range(npf):
+        pool32_ref[pl.ds(h * rtot + row0, nrows), :] = (
+            (new >> (8 * h)) & 0xFF).astype(BF16)
 
 
 def compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt, rtot: int,
@@ -361,26 +376,21 @@ def compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt, rtot: int,
     B1 = jnp.where((~keep0) & live, B, 0)
     r0 = flat(pre >> 7) - reg0  # (1,1024) region-relative pool row
     iota = jax.lax.broadcasted_iota(I32, (regrows, LANES), 0)
-    oh0 = (iota == r0).astype(jnp.float32)
-    oh1 = (iota == r0 + 1).astype(jnp.float32)
+    oh0 = (iota == r0).astype(BF16)
+    oh1 = (iota == r0 + 1).astype(BF16)
     acc = jnp.zeros((regrows, SLAB), I32)
     for h in range(npf):
-        if npf == 1:
-            p0, p1 = B0, B1
-        else:
-            p0 = (B0 >> (16 * h)) & 0xFFFF
-            p1 = (B1 >> (16 * h)) & 0xFFFF
+        p0 = (B0 >> (8 * h)) & 0xFF
+        p1 = (B1 >> (8 * h)) & 0xFF
         m0 = jax.lax.dot_general(
-            oh0, p0.astype(jnp.float32),
+            oh0, p0.astype(BF16),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            preferred_element_type=jnp.float32)
         m1 = jax.lax.dot_general(
-            oh1, p1.astype(jnp.float32),
+            oh1, p1.astype(BF16),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        acc = acc | ((m0 + m1).astype(I32) << (16 * h))
+            preferred_element_type=jnp.float32)
+        acc = acc | ((m0 + m1).astype(I32) << (8 * h))
     # merge into pool: slab targets never collide with existing nonzero
     # content (each slot written exactly once across the block), so OR-merge
     new = pool_ref[pl.ds(reg0, regrows), :] | acc
@@ -424,8 +434,22 @@ def build_kernel(cfg: KernelCfg):
     NEED = cfg.need_bits  # min window bits before decoding a code
 
     def kernel(meta_ref, offs_ref, words_ref, offs_out_ref, succ_ref,
-               win_ref, wtab_ref, gwst_ref, pool_ref, pool32_ref,
-               colbuf_ref, carry_ref, smem_ref, dma_sem):
+               *rest):
+        if cfg.debug_counters:
+            stats_ref = rest[0]
+            rest = rest[1:]
+        else:
+            stats_ref = None
+        (win_ref, wtab_ref, gwst_ref, pool_ref, pool32_ref,
+         colbuf_ref, carry_ref, smem_ref, dma_sem) = rest
+
+        if cfg.debug_counters:
+            def tick(slot, inc=1):
+                smem_ref[slot] = smem_ref[slot] + inc
+        else:
+            def tick(slot, inc=1):
+                pass
+
         t = pl.program_id(0)
         wstart_row = meta_ref[t, 0]   # window start, in 128-word rows
         cnt = meta_ref[t, 1]          # nodes in this block
@@ -449,6 +473,10 @@ def build_kernel(cfg: KernelCfg):
             (POOL_ROWS - HROWS, 128), I32)
         pool32_refresh(pool_ref, pool32_ref, POOL_ROWS, NPF,
                        HROWS, POOL_ROWS - HROWS)
+
+        if cfg.debug_counters:
+            for s in range(16, 24):
+                smem_ref[s] = 0
 
         # seed FINAL row 0 with the previous block's carried partial CSR row
         # (slots [0, align) belong to the preceding block's last node)
@@ -504,6 +532,7 @@ def build_kernel(cfg: KernelCfg):
 
             def body(st):
                 pending_i, win, out, ln = st
+                tick(23)
                 pending = pending_i > 0
                 win, st1 = win_refill(win, wtab_ref[:], gw_vec(), pending)
                 slide(st1, win[4])
@@ -546,11 +575,18 @@ def build_kernel(cfg: KernelCfg):
         # ================= P1b: copy-block walk ==========================
         runs_cnt = jnp.where(has_ref, (bc + 1) >> 1, 0)
         runs_excl, _ = prefix_sum_lanes(runs_cnt)
-        (win, copied, extra, icnt, int0, res0, _rc, tail_start, tail_len,
-         interval_arcs) = _p1b_blocks(
-            cfg, read_blk, read_g, win, read_code_sync, win_pos,
-            d, ref, bc, dp, has_ref, nonempty, valid, runs_excl,
-            pool_ref, pool32_ref, colbuf_ref)
+        if cfg.phase_mask & 1:
+            (win, copied, extra, icnt, int0, res0, _rc, tail_start, tail_len,
+             interval_arcs) = _p1b_blocks(
+                cfg, read_blk, read_g, win, read_code_sync, win_pos,
+                d, ref, bc, dp, has_ref, nonempty, valid, runs_excl,
+                pool_ref, pool32_ref, colbuf_ref, tick)
+        else:  # perf probe only: structurally-shaped zeros
+            z = jnp.zeros_like(d)
+            copied = jnp.where(has_ref, dp, 0)
+            extra = jnp.where(nonempty, d - copied, 0)
+            icnt, int0, res0 = z, z, z
+            tail_start, tail_len, interval_arcs = z, jnp.where(has_ref, dp, 0), z
         rescnt = extra - interval_arcs
 
         # ================= rounds / bases =================================
@@ -575,28 +611,37 @@ def build_kernel(cfg: KernelCfg):
         edst = jnp.where(has_ref, extra_base, final_base)
 
         # ================= P2: extras =====================================
-        _p2_extras(
-            cfg, read_res, read_g, wtab_ref, gw_vec, slide,
-            int0, res0, icnt, rescnt, extra, edst, node_gid, valid,
-            pool_ref, pool32_ref, colbuf_ref)
+        if cfg.phase_mask & 2:
+            _p2_extras(
+                cfg, read_res, read_g, wtab_ref, gw_vec, slide,
+                int0, res0, icnt, rescnt, extra, edst, node_gid, valid,
+                pool_ref, pool32_ref, colbuf_ref, tick)
 
         # ================= P3: merge rounds ===============================
-        def round_body(rt, _):
-            _p3_round(
-                cfg, rt, rnd, has_ref, d, copied, extra,
-                pfb, extra_base, final_base, runs_excl, runs_cnt,
-                tail_start, tail_len,
-                pool_ref, pool32_ref, colbuf_ref)
-            return 0
+        if cfg.phase_mask & 4:
+            def round_body(rt, _):
+                _p3_round(
+                    cfg, rt, rnd, has_ref, d, copied, extra,
+                    pfb, extra_base, final_base, runs_excl, runs_cnt,
+                    tail_start, tail_len,
+                    pool_ref, pool32_ref, colbuf_ref, tick)
+                return 0
 
-        jax.lax.fori_loop(0, cfg.max_depth + 1, round_body, 0)
+            jax.lax.fori_loop(0, cfg.max_depth + 1, round_body, 0)
 
         # ================= P4: outputs ====================================
         offs_out_ref[0] = csr0 + jnp.where(valid, csr_excl, csr_incl)
         block_arcs = jnp.max(jnp.where(valid, csr_incl, 0))
-        _p4_output(cfg, cnt, align, block_arcs, d, csr_excl, valid, li,
-                   pool_ref, pool32_ref, succ_ref, carry_ref, smem_ref,
-                   dma_sem, csr0)
+        if cfg.phase_mask & 8:
+            _p4_output(cfg, cnt, align, block_arcs, d, csr_excl, valid, li,
+                       pool_ref, pool32_ref, succ_ref, carry_ref, smem_ref,
+                       dma_sem, csr0)
+
+        if cfg.debug_counters:
+            sv = jnp.zeros((GROUPS, GLANES), I32)
+            for j, s in enumerate(range(16, 24)):
+                sv = jnp.where(li == j, smem_ref[s], sv)
+            stats_ref[0] = sv
 
     return kernel
 
@@ -608,7 +653,7 @@ def build_kernel(cfg: KernelCfg):
 
 def _p1b_blocks(cfg, read_blk, read_g, win, read_code_sync, win_pos,
                 d, ref, bc, dp, has_ref, nonempty, valid, runs_base,
-                pool_ref, pool32_ref, colbuf_ref):
+                pool_ref, pool32_ref, colbuf_ref, tick=lambda s, i=1: None):
     """Walk all copy-block lists in lockstep (all lanes on code k at step k),
     emitting keep-run (start, len) pairs into the RUNS pool regions; then
     the interval count + a cursor-advancing interval walk.
@@ -648,6 +693,7 @@ def _p1b_blocks(cfg, read_blk, read_g, win, read_code_sync, win_pos,
 
     def body(st):
         (k, win, cum, kstart, keepreg, copied, flushed) = st
+        tick(16)
         participate = has_ref & (k < bc)
         v, win = read_code_sync(read_blk, win, participate)
         val = jnp.where(k > 0, v + 1, v)
@@ -737,21 +783,31 @@ def win_pos(win):
 
 def _p2_extras(cfg, read_res, read_g, wtab_ref, gw_vec, slide,
                int0, res0, icnt, rescnt, extra, edst, node_gid, valid,
-               pool_ref, pool32_ref, colbuf_ref):
+               pool_ref, pool32_ref, colbuf_ref, tick=lambda s, i=1: None):
+    """Per-lane 2-way merge of interval expansion and residual gap decode.
+
+    Per trip, ``cfg.p2_unroll`` lockstep sub-steps each advance the
+    interval pipeline one stage, decode one residual, and emit one merged
+    value — so a residual-only lane sustains one decode+emit per sub-step.
+    Word-table slides collect across sub-steps and run once per trip."""
     (_o, _r, _bc, _blk, _res, zeta_k, window, minint) = cfg.skey
     NPF = cfg.npf
     POOL_ROWS = cfg.pool_rows
     HROWS, FROWS, EROWS = cfg.halo_rows, cfg.final_rows, cfg.extra_rows
-    NEED = 48
+    # a residual/interval γ or ζ code can span up to cfg.need_bits (> 48
+    # once n >= ~2^23): hardcoding 48 here silently mis-decoded big graphs
+    NEED = cfg.need_bits
+    U = cfg.p2_unroll
     z = jnp.zeros_like(extra)
     participate = valid & (extra > 0)
 
-    iwin = win_reset(jnp.where(participate & (icnt > 0), int0, 0), None)
-    rwin = win_reset(jnp.where(participate & (rescnt > 0), res0, 0), None)
+    iwin0 = win_reset(jnp.where(participate & (icnt > 0), int0, 0), None)
+    rwin0 = win_reset(jnp.where(participate & (rescnt > 0), res0, 0), None)
 
-    def flush(gs):
+    def flush(gs, emitted):
+        tick(22)
         pre = edst + jnp.minimum(gs, extra)
-        cnt = jnp.clip(extra - gs, 0, SLAB)
+        cnt = jnp.clip(jnp.minimum(emitted, extra) - gs, 0, SLAB)
         cnt = jnp.where(participate, cnt, 0)
         compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt,
                      POOL_ROWS, NPF, reg0=HROWS, regrows=FROWS + EROWS)
@@ -764,80 +820,91 @@ def _p2_extras(cfg, read_res, read_g, wtab_ref, gw_vec, slide,
         (emitted, fill, gs, iwin, rwin,
          icur, irem, ileft, stage, nxt_left, nxt_len, ptop,
          rv, rv_ok_i, rdec) = st
+        tick(17)
         rv_ok = rv_ok_i > 0
-        active = participate & (emitted < extra)
+        stall_acc = jnp.zeros_like(extra) > 0
+        stall_nw = jnp.zeros_like(extra)
+        nem = jnp.int32(0)
 
-        # ---- load next interval into the current slot -----------------
-        can_load = active & (irem == 0) & (ileft > 0) & (stage == 2)
-        icur = jnp.where(can_load, nxt_left, icur)
-        irem = jnp.where(can_load, nxt_len, irem)
-        ptop = jnp.where(can_load, nxt_left + nxt_len, ptop)
-        ileft = jnp.where(can_load, ileft - 1, ileft)
-        stage = jnp.where(can_load, 0, stage)
+        for u in range(U):
+            active = participate & (emitted < extra)
 
-        # ---- interval pipeline decode (own window, one code/trip) -----
-        ipend = active & (ileft > 0) & (stage < 2)
-        iwin, ist = win_refill(iwin, wtab_ref[:], gw_vec(), ipend)
-        iready = ipend & (iwin[3] >= NEED)
-        gv, glen = read_g(iwin[0], iwin[1])
-        # gap (stage 0): left = node + zigzag for the FIRST interval,
-        # else ptop + 1 + gap
-        left0 = node_gid + P.nat2int_u(gv)
-        leftn = ptop + 1 + gv.astype(I32)
-        newleft = jnp.where(ileft == icnt, left0, leftn)
-        nxt_left = jnp.where(iready & (stage == 0), newleft, nxt_left)
-        nxt_len = jnp.where(iready & (stage == 1), gv.astype(I32) + minint,
-                            nxt_len)
-        iwin = win_consume(iwin, glen, iready)
-        stage = jnp.where(iready, stage + 1, stage)
+            # ---- load next interval into the current slot -------------
+            can_load = active & (irem == 0) & (ileft > 0) & (stage == 2)
+            icur = jnp.where(can_load, nxt_left, icur)
+            irem = jnp.where(can_load, nxt_len, irem)
+            ptop = jnp.where(can_load, nxt_left + nxt_len, ptop)
+            ileft = jnp.where(can_load, ileft - 1, ileft)
+            stage = jnp.where(can_load, 0, stage)
 
-        # ---- residual head decode (own window, one code/trip) ---------
-        rpend = active & ~rv_ok & (rdec < rescnt)
-        rwin, rst = win_refill(rwin, wtab_ref[:], gw_vec(), rpend)
-        rready = rpend & (rwin[3] >= NEED)
-        rvu, rlen = read_res(rwin[0], rwin[1])
-        rnew = jnp.where(rdec == 0, node_gid + P.nat2int_u(rvu),
-                         rv + 1 + rvu.astype(I32))
-        rv = jnp.where(rready, rnew, rv)
-        rv_ok = rv_ok | rready
-        rdec = jnp.where(rready, rdec + 1, rdec)
-        rwin = win_consume(rwin, rlen, rready)
+            # ---- interval pipeline decode (one stage per sub-step) ----
+            ipend = active & (ileft > 0) & (stage < 2)
+            iwin, ist = win_refill(iwin, wtab_ref[:], gw_vec(), ipend)
+            iready = ipend & (iwin[3] >= NEED)
+            gv, glen = read_g(iwin[0], iwin[1])
+            left0 = node_gid + P.nat2int_u(gv)
+            leftn = ptop + 1 + gv.astype(I32)
+            newleft = jnp.where(ileft == icnt, left0, leftn)
+            nxt_left = jnp.where(iready & (stage == 0), newleft, nxt_left)
+            nxt_len = jnp.where(iready & (stage == 1),
+                                gv.astype(I32) + minint, nxt_len)
+            iwin = win_consume(iwin, glen, iready)
+            stage = jnp.where(iready, stage + 1, stage)
 
-        slide(ist | rst, jnp.where(ist, iwin[4], rwin[4]))
+            # ---- residual head decode (one code per sub-step) ---------
+            rpend = active & ~rv_ok & (rdec < rescnt)
+            rwin, rst = win_refill(rwin, wtab_ref[:], gw_vec(), rpend)
+            rready = rpend & (rwin[3] >= NEED)
+            rvu, rlen = read_res(rwin[0], rwin[1])
+            rnew = jnp.where(rdec == 0, node_gid + P.nat2int_u(rvu),
+                             rv + 1 + rvu.astype(I32))
+            rv = jnp.where(rready, rnew, rv)
+            rv_ok = rv_ok | rready
+            rdec = jnp.where(rready, rdec + 1, rdec)
+            rwin = win_consume(rwin, rlen, rready)
 
-        # ---- heads + readiness -----------------------------------------
-        ih = jnp.where(irem > 0, icur, NEG)
-        remain_r = rescnt - (rdec - rv_ok.astype(I32))  # residuals not yet emitted
-        rh = jnp.where(rv_ok & (remain_r > 0), rv, NEG)
-        # stall while the next interval is decoded AND until it is loaded
-        # into (icur, irem) — heads are valid only after can_load fires
-        stall_i = (irem == 0) & (ileft > 0)
-        stall_r = (~rv_ok) & (rdec < rescnt)
-        ready = ~(stall_i | stall_r)
-        go = _all(ready | ~active)
+            stall_acc = stall_acc | ist | rst
+            stall_nw = jnp.where(ist, iwin[4],
+                                 jnp.where(rst, rwin[4], stall_nw))
 
-        emit = jnp.minimum(ih, rh)
-        take_i = active & (ih <= rh)
-        colbuf_ref[pl.ds(fill, 1), :] = flat(jnp.where(active, emit, 0))
+            # ---- heads + readiness ------------------------------------
+            ih = jnp.where(irem > 0, icur, NEG)
+            remain_r = rescnt - (rdec - rv_ok.astype(I32))
+            rh = jnp.where(rv_ok & (remain_r > 0), rv, NEG)
+            stall_i = (irem == 0) & (ileft > 0)
+            stall_r = (~rv_ok) & (rdec < rescnt)
+            ready = ~(stall_i | stall_r)
+            go = _all(ready | ~active)
 
-        adv = (go > 0) & active
-        icur = jnp.where(adv & take_i, icur + 1, icur)
-        irem = jnp.where(adv & take_i, irem - 1, irem)
-        rv_ok = rv_ok & ~(adv & ~take_i)
-        emitted = jnp.where(adv, emitted + 1, emitted)
-        fill2 = fill + go
+            emit = jnp.minimum(ih, rh)
+            take_i = active & (ih <= rh)
+            colbuf_ref[pl.ds(fill + nem, 1), :] = flat(
+                jnp.where(active, emit, 0))
 
-        @pl.when((go > 0) & (fill2 == SLAB))
+            adv = (go > 0) & active
+            icur = jnp.where(adv & take_i, icur + 1, icur)
+            irem = jnp.where(adv & take_i, irem - 1, irem)
+            rv_ok = rv_ok & ~(adv & ~take_i)
+            emitted = jnp.where(adv, emitted + 1, emitted)
+            nem = nem + go
+
+        # one slide per trip serves every sub-step's pending refills
+        slide(stall_acc, stall_nw)
+
+        fill2 = fill + nem
+        do_flush = fill2 > SLAB - U
+
+        @pl.when(do_flush)
         def _():
-            flush(gs)
+            flush(gs, emitted)
 
-        gs = jnp.where(fill2 == SLAB, gs + SLAB, gs)
-        fill2 = jnp.where(fill2 == SLAB, 0, fill2)
+        gs = jnp.where(do_flush, gs + fill2, gs)
+        fill2 = jnp.where(do_flush, 0, fill2)
         return (emitted, fill2, gs, iwin, rwin,
                 icur, irem, ileft, stage, nxt_left, nxt_len, ptop,
                 rv, rv_ok.astype(I32), rdec)
 
-    st0 = (z, jnp.int32(0), jnp.int32(0), iwin, rwin,
+    st0 = (z, jnp.int32(0), jnp.int32(0), iwin0, rwin0,
            z, z, jnp.where(participate, icnt, 0), z,
            z, z, z, z, z, z)
     st = jax.lax.while_loop(cond, body, st0)
@@ -845,7 +912,7 @@ def _p2_extras(cfg, read_res, read_g, wtab_ref, gw_vec, slide,
 
     @pl.when(fill > 0)
     def _():
-        flush(gs)
+        flush(gs, emitted)
 
 
 # ----------------------------------------------------------------------
@@ -855,7 +922,18 @@ def _p2_extras(cfg, read_res, read_g, wtab_ref, gw_vec, slide,
 
 def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
               pfb, extra_base, final_base, runs_base, runs_cnt,
-              tail_start, tail_len, pool_ref, pool32_ref, colbuf_ref):
+              tail_start, tail_len, pool_ref, pool32_ref, colbuf_ref,
+              tick=lambda s, i=1: None):
+    """Merge round rt: lanes at in-block chain depth rt 2-way merge their
+    copy stream with their extras stream into their FINAL slots.
+
+    The copy stream reads the parent's FINAL region CONTIGUOUSLY (cursor
+    ``cp`` over parent positions): keep runs (start, len) from the RUNS
+    pools select which entries are emitted, entries before a run's start
+    are *discarded* — the queue advances per lane without emission, so run
+    switches never reposition the queue (no global re-alignment stalls).
+    Per trip, up to ``cfg.p3_unroll`` merged values are emitted per lane in
+    lockstep sub-steps; queues refetch independently on exhaustion."""
     NPF = cfg.npf
     POOL_ROWS = cfg.pool_rows
     HROWS, FROWS, EROWS, RROWS = (
@@ -864,142 +942,185 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
     S_RUNS0 = (HROWS + FROWS + EROWS) * 128
     S_RUNS1 = S_RUNS0 + RROWS * 128
     z = jnp.zeros_like(d)
+    U = cfg.p3_unroll
+    DU = 7  # bulk discards per lane per trip (3-bit composed roll)
 
     part = has_ref & (rnd == rt) & (d > 0)
 
-    def flush(gs):
+    def flush(gs, emitted):
+        tick(22)
         pre = final_base + jnp.minimum(gs, d)
-        cnt = jnp.clip(d - gs, 0, SLAB)
+        cnt = jnp.clip(jnp.minimum(emitted, d) - gs, 0, SLAB)
         cnt = jnp.where(part, cnt, 0)
         compact_slab(colbuf_ref, pool_ref, pool32_ref, pre, cnt,
                      POOL_ROWS, NPF, reg0=HROWS, regrows=FROWS)
 
-    def fetch_all(ppos, epos, rpos):
-        cq = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF,
-                              jnp.clip(ppos, 0, None), part,
-                              row0=0, rows=HROWS + FROWS)
-        eq = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF,
-                              jnp.clip(epos, S_EXTRA, None), part,
-                              row0=HROWS + FROWS, rows=EROWS)
-        rqs = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF,
-                               jnp.clip(rpos, S_RUNS0, None), part,
+    def fetch_cq(cp):
+        return queue_rows(pool_fetch_queue(
+            pool32_ref, POOL_ROWS, NPF,
+            jnp.clip(pfb + cp, 0, None), part,
+            row0=0, rows=HROWS + FROWS))
+
+    def fetch_eq(epos):
+        return queue_rows(pool_fetch_queue(
+            pool32_ref, POOL_ROWS, NPF,
+            jnp.clip(epos, S_EXTRA, None), part,
+            row0=HROWS + FROWS, rows=EROWS))
+
+    def fetch_rq(runs_left):
+        rpos = jnp.clip(S_RUNS0 + runs_base + (runs_cnt - runs_left),
+                        S_RUNS0, None)
+        rqs = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF, rpos, part,
                                row0=HROWS + FROWS + EROWS, rows=RROWS)
         rql = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF,
-                               jnp.clip(rpos, S_RUNS0, None) +
-                               (S_RUNS1 - S_RUNS0), part,
+                               rpos + (S_RUNS1 - S_RUNS0), part,
                                row0=HROWS + FROWS + EROWS + RROWS,
                                rows=RROWS)
-        return cq, eq, rqs, rql
+        return queue_rows(rqs), queue_rows(rql)
+
+    QTOP = QDEPTH - 1
+
+    def load_runs(active, crem, kstart, krem, runs_left, tail_used, rqn,
+                  rqs, rql, rstall):
+        """One keep-run load per call (pair queue or the implicit tail)."""
+        rq_ok = rqn < QDEPTH
+        need = active & (krem == 0) & (crem > 0)
+        use_pair = need & (runs_left > 0) & rq_ok
+        ridx = jnp.clip(rqn, 0, QTOP)
+        kstart = jnp.where(use_pair, sel_row(rqs, ridx), kstart)
+        krem = jnp.where(use_pair,
+                         jnp.minimum(sel_row(rql, ridx), crem), krem)
+        rqn = jnp.where(use_pair, rqn + 1, rqn)
+        runs_left = jnp.where(use_pair, runs_left - 1, runs_left)
+        use_tail = (need & (runs_left == 0) & ~use_pair & ~tail_used
+                    & (tail_len > 0))
+        kstart = jnp.where(use_tail, tail_start, kstart)
+        krem = jnp.where(use_tail, jnp.minimum(tail_len, crem), krem)
+        tail_used = tail_used | use_tail
+        rstall = rstall | (need & (runs_left > 0) & ~rq_ok)
+        return kstart, krem, runs_left, tail_used, rqn, rstall
 
     def cond(st):
         emitted = st[0]
         return _any(part & (emitted < d)) > 0
 
     def body(st):
-        (emitted, fill, gs, since,
-         crem, krem, ppos, cqp, cqn,
+        (emitted, fill, gs,
+         crem, kstart, krem, cp, cqn,
          runs_left, tail_used_i, rqn,
-         eleft, epos, eqp, eqn,
+         eleft, epos, eqn,
          cq, eq, rqs, rql) = st
         tail_used = tail_used_i > 0
         active = part & (emitted < d)
+        tick(18)
+        false_v = jnp.zeros_like(d) > 0
+        cstall = false_v
+        estall = false_v
+        rstall = false_v
 
-        # ---- load next keep run ----------------------------------------
-        rq_ok = rqn < 14
-        need_run = active & (krem == 0) & (crem > 0)
-        use_pair = need_run & (runs_left > 0) & rq_ok
-        rs = queue_head(rqs)
-        rl = queue_head(rql)
-        ppos = jnp.where(use_pair, pfb + rs, ppos)
-        krem = jnp.where(use_pair, jnp.minimum(rl, crem), krem)
-        runs_left = jnp.where(use_pair, runs_left - 1, runs_left)
-        rqs = queue_advance(rqs, use_pair)
-        rql = queue_advance(rql, use_pair)
-        rqn = jnp.where(use_pair, rqn + 1, rqn)
-        use_tail = need_run & (runs_left == 0) & ~use_pair & ~tail_used & (
-            tail_len > 0)
-        ppos = jnp.where(use_tail, pfb + tail_start, ppos)
-        krem = jnp.where(use_tail, tail_len, krem)
-        tail_used = tail_used | use_tail
-        # run stall: copies remain but no keep run is loaded — covers a dry
-        # pair queue AND a zero-length first copy block (pair (0,0)), after
-        # which the next pair must load before the heads are comparable
-        run_stall = active & (krem == 0) & (crem > 0)
+        # ---- phase A: run loads + bulk discards ------------------------
+        for _ in range(2):
+            (kstart, krem, runs_left, tail_used, rqn,
+             rstall) = load_runs(active, crem, kstart, krem, runs_left,
+                                 tail_used, rqn, rqs, rql, rstall)
+        can_disc = active & (krem > 0)
+        disc = jnp.where(
+            can_disc,
+            jnp.clip(jnp.minimum(kstart - cp, QDEPTH - cqn), 0, DU), z)
+        cp = cp + disc
+        cqn = cqn + disc
+        cstall = cstall | (can_disc & (cp < kstart) & (cqn >= QDEPTH))
 
-        # ---- heads -------------------------------------------------------
-        cq_ok = (ppos == cqp) & (cqn < 14)
-        ch = jnp.where((krem > 0) & cq_ok, queue_head(cq), NEG)
-        c_stall = active & (krem > 0) & ~cq_ok
-        eq_ok = (epos == eqp) & (eqn < 14)
-        eh = jnp.where((eleft > 0) & eq_ok, queue_head(eq), NEG)
-        e_stall = active & (eleft > 0) & ~eq_ok
+        # ---- lockstep emission sub-steps -------------------------------
+        nem = jnp.int32(0)
+        for u in range(U):
+            if u > 0:
+                # mid-trip run switch: one load + one discard per sub-step
+                (kstart, krem, runs_left, tail_used, rqn,
+                 rstall) = load_runs(active, crem, kstart, krem, runs_left,
+                                     tail_used, rqn, rqs, rql, rstall)
+                d1 = active & (krem > 0) & (cp < kstart) & (cqn < QDEPTH)
+                cp = jnp.where(d1, cp + 1, cp)
+                cqn = jnp.where(d1, cqn + 1, cqn)
+            cq_ok = cqn < QDEPTH
+            pos_ready = (krem > 0) & (cp >= kstart)
+            ch = jnp.where(pos_ready & cq_ok,
+                           sel_row(cq, jnp.clip(cqn, 0, QTOP)), NEG)
+            eq_ok = eqn < QDEPTH
+            eh = jnp.where((eleft > 0) & eq_ok,
+                           sel_row(eq, jnp.clip(eqn, 0, QTOP)), NEG)
+            cstall = cstall | (active & pos_ready & ~cq_ok)
+            estall = estall | (active & (eleft > 0) & ~eq_ok)
+            unready = (crem > 0) & ~pos_ready
+            stall = (pos_ready & ~cq_ok) | ((eleft > 0) & ~eq_ok) | unready
+            go = _all(~stall | ~active)
 
-        stall = run_stall | c_stall | e_stall
-        go = _all(~stall | ~active)
+            emit = jnp.minimum(ch, eh)
+            colbuf_ref[pl.ds(fill + nem, 1), :] = flat(
+                jnp.where(active, emit, 0))
+            adv = (go > 0) & active
+            take_c = adv & (ch <= eh)
+            crem = jnp.where(take_c, crem - 1, crem)
+            krem = jnp.where(take_c, krem - 1, krem)
+            cp = jnp.where(take_c, cp + 1, cp)
+            cqn = jnp.where(take_c, cqn + 1, cqn)
+            adve = adv & ~take_c
+            eleft = jnp.where(adve, eleft - 1, eleft)
+            epos = jnp.where(adve, epos + 1, epos)
+            eqn = jnp.where(adve, eqn + 1, eqn)
+            emitted = jnp.where(adv, emitted + 1, emitted)
+            nem = nem + go
 
-        emit = jnp.minimum(ch, eh)
-        take_c = active & (ch <= eh)
-        colbuf_ref[pl.ds(fill, 1), :] = flat(jnp.where(active, emit, 0))
+        fill2 = fill + nem
+        do_flush = fill2 > SLAB - U
 
-        adv = (go > 0) & active
-        advc = adv & take_c
-        adve = adv & ~take_c
-        crem = jnp.where(advc, crem - 1, crem)
-        krem = jnp.where(advc, krem - 1, krem)
-        ppos = jnp.where(advc, ppos + 1, ppos)
-        cqp = jnp.where(advc, cqp + 1, cqp)
-        cqn = jnp.where(advc, cqn + 1, cqn)
-        cq = queue_advance(cq, advc)
-        eleft = jnp.where(adve, eleft - 1, eleft)
-        epos = jnp.where(adve, epos + 1, epos)
-        eqn = jnp.where(adve, eqn + 1, eqn)
-        eq = queue_advance(eq, adve)
-        emitted = jnp.where(adv, emitted + 1, emitted)
-        fill2 = fill + go
-        since2 = since + 1
-
-        @pl.when((go > 0) & (fill2 == SLAB))
+        @pl.when(do_flush)
         def _():
-            flush(gs)
+            flush(gs, emitted)
 
-        gs = jnp.where(fill2 == SLAB, gs + SLAB, gs)
-        fill2 = jnp.where(fill2 == SLAB, 0, fill2)
+        gs = jnp.where(do_flush, gs + fill2, gs)
+        fill2 = jnp.where(do_flush, 0, fill2)
 
-        # ---- demand refetch (queues are 16 deep; stalls force go == 0) --
-        refetch = (go == 0)
+        # ---- per-queue demand refetch (queues start exhausted) ---------
+        tick(19, _any(cstall))
+        tick(20, _any(estall))
+        tick(21, _any(rstall))
+        cq, cqn = jax.lax.cond(
+            _any(cstall) > 0,
+            lambda a: (fetch_cq(a[2]), jnp.zeros_like(a[1])),
+            lambda a: (a[0], a[1]), (cq, cqn, cp))
+        eq, eqn = jax.lax.cond(
+            _any(estall) > 0,
+            lambda a: (fetch_eq(a[2]), jnp.zeros_like(a[1])),
+            lambda a: (a[0], a[1]), (eq, eqn, epos))
+        rqs, rql, rqn = jax.lax.cond(
+            _any(rstall) > 0,
+            lambda a: (*fetch_rq(a[3]), jnp.zeros_like(a[2])),
+            lambda a: (a[0], a[1], a[2]), (rqs, rql, rqn, runs_left))
 
-        def do_fetch(ops):
-            (cq, eq, rqs, rql, cqp, cqn, eqp, eqn, rqn) = ops
-            rpos = S_RUNS0 + runs_base + (runs_cnt - runs_left)
-            ncq, neq, nrqs, nrql = fetch_all(ppos, epos, rpos)
-            return (ncq, neq, nrqs, nrql, ppos, z, epos, z, z)
-
-        ops = (cq, eq, rqs, rql, cqp, cqn, eqp, eqn, rqn)
-        ops = jax.lax.cond(refetch, do_fetch, lambda o: o, ops)
-        (cq, eq, rqs, rql, cqp, cqn, eqp, eqn, rqn) = ops
-        since2 = jnp.where(refetch, 0, since2)
-
-        return (emitted, fill2, gs, since2,
-                crem, krem, ppos, cqp, cqn,
+        return (emitted, fill2, gs,
+                crem, kstart, krem, cp, cqn,
                 runs_left, tail_used.astype(I32), rqn,
-                eleft, epos, eqp, eqn,
+                eleft, epos, eqn,
                 cq, eq, rqs, rql)
 
-    # initial fetches
+    # queues start EXHAUSTED (dummy rows, counters at QDEPTH): the first
+    # trip discovers which streams the round actually uses and fetches only
+    # those — rounds without extras (or pairs) never pay those fetches
     epos0 = extra_base
-    rpos0 = S_RUNS0 + runs_base
-    cq, eq, rqs, rql = fetch_all(z, epos0, rpos0)
-    st0 = (z, jnp.int32(0), jnp.int32(0), jnp.int32(0),
-           jnp.where(part, copied, 0), z, z, z, z,
-           jnp.where(part, runs_cnt, 0), (~part).astype(I32), z,
-           jnp.where(part, extra, 0), epos0, epos0, z,
-           cq, eq, rqs, rql)
+    dq = tuple(z for _ in range(QDEPTH))
+    full_ctr = jnp.full_like(z, QDEPTH)
+    st0 = (z, jnp.int32(0), jnp.int32(0),
+           jnp.where(part, copied, 0), z, z, z, full_ctr,
+           jnp.where(part, runs_cnt, 0), z, full_ctr,
+           jnp.where(part, extra, 0), epos0, full_ctr,
+           dq, dq, dq, dq)
     st = jax.lax.while_loop(cond, body, st0)
     (emitted, fill, gs, *_r) = st
 
     @pl.when(fill > 0)
     def _():
-        flush(gs)
+        flush(gs, emitted)
 
 
 # ----------------------------------------------------------------------
@@ -1082,15 +1203,21 @@ def _u32_words(g) -> np.ndarray:
 def make_cfg(g, plan) -> KernelCfg:
     s = g.settings
     n = plan.n
+    # the cross-block halo protocol carries exactly 7 lists (SMEM slots
+    # 2..8 / 9..15); a larger window would silently decode wrong
+    if s.window_size > 7:
+        raise ValueError(
+            f"in-kernel decode supports window_size <= 7 (got "
+            f"{s.window_size}); use formats/bvgraph_jax or the host decoder")
     # longest code the kernel may meet: gamma of a zigzagged gap (< 2n) or
     # of an outdegree/blocks value (< n); delta/zeta are never longer
     vbits = max(int(max(n, 2)).bit_length() + 1, 2)
     need = min(64, 2 * vbits + 1)
     # pool values (successor ids, run starts/lens) are < max(n, d_max):
-    # one exact f32 plane below 2^24, two 16-bit halves otherwise
+    # mirrored as ceil(bits/8) bf16 byte planes (exact one-hot matmuls)
     vmax_bits = max(int(max(n - 1, 1)).bit_length(),
                     int(max(plan.max_d, 1)).bit_length())
-    npf = 1 if vmax_bits <= 24 else 2
+    npf = max(1, (vmax_bits + 7) // 8)
     hrows = plan.halo_arcs // 128 + 1
     frows = plan.pool_arcs // 128 + 2
     erows = (plan.extra_arcs + 127) // 128 + 2
@@ -1133,6 +1260,17 @@ def make_cfg(g, plan) -> KernelCfg:
 def _compiled(cfg: KernelCfg, interpret: bool):
     kernel = build_kernel(cfg)
     nb = cfg.num_blocks
+    out_specs = [
+        pl.BlockSpec((1, GROUPS, GLANES), lambda t: (t, 0, 0)),  # offs_out
+        pl.BlockSpec(memory_space=pltpu.ANY),               # succ
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, GROUPS, GLANES), I32),
+        jax.ShapeDtypeStruct((cfg.m_pad, 128), I32),
+    ]
+    if cfg.debug_counters:
+        out_specs.append(pl.BlockSpec((1, GROUPS, GLANES), lambda t: (t, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((nb, GROUPS, GLANES), I32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
@@ -1141,29 +1279,23 @@ def _compiled(cfg: KernelCfg, interpret: bool):
             pl.BlockSpec((1, GROUPS, GLANES), lambda t: (t, 0, 0)),  # offs
             pl.BlockSpec(memory_space=pltpu.ANY),               # words
         ],
-        out_specs=[
-            pl.BlockSpec((1, GROUPS, GLANES), lambda t: (t, 0, 0)),  # offs_out
-            pl.BlockSpec(memory_space=pltpu.ANY),               # succ
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((cfg.wrows, 128), I32),                  # win
             pltpu.VMEM((GROUPS, 128), I32),                     # wtab
             pltpu.VMEM((GROUPS, 1), I32),                       # gwst
             pltpu.VMEM((cfg.pool_rows, 128), I32),              # pool
-            pltpu.VMEM((cfg.npf * cfg.pool_rows, 128), jnp.float32),  # pool32
+            pltpu.VMEM((cfg.npf * cfg.pool_rows, 128), BF16),   # pool32
             pltpu.VMEM((SLAB, LANES), I32),                     # colbuf
             pltpu.VMEM((1, 128), I32),                          # carry
-            pltpu.SMEM((16,), I32),                             # smem
+            pltpu.SMEM((24,), I32),                             # smem (+counters)
             pltpu.SemaphoreType.DMA,                            # dma_sem
         ],
     )
     fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, GROUPS, GLANES), I32),
-            jax.ShapeDtypeStruct((cfg.m_pad, 128), I32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -107,9 +107,11 @@ def nat2int_u(v):
 def make_window_reader(coding: int, k: int):
     """Reader factory mirroring jcodes.make_reader_u, window-based.
 
-    Returns ``f(hi, lo) -> (value_u32, length)``.  GOLOMB and NIBBLE span
-    bounds don't fit the single-window contract and are handled by the
-    kernel's generic slow path, not here.
+    Returns ``f(hi, lo) -> (value_u32, length)``.  GOLOMB and NIBBLE are
+    NOT supported in-kernel (their span bounds don't fit the single-window
+    contract); graphs stored with those codings must use the XLA decoder
+    (``formats/bvgraph_jax``) or the host decoders — this factory raises
+    so the kernel fails loudly instead of decoding garbage.
     """
     from webgraph_tpu.bits import codes as C
 
