@@ -165,10 +165,10 @@ def _queue_loop(lo, hi, init_lane, step_fn, apply_fn, pull_fn, carry_init, lanes
     return carry
 
 
-def _item_state(i, hi, starts, counts, bases, nodes):
+def _item_state(i, hi, starts, counts, bases, nodes, gids=None):
     in_range = i < hi
     ii = jnp.where(in_range, i, 0)
-    return {
+    st = {
         "item": ii,
         "pos": jnp.where(in_range, starts[ii], 0),
         "remaining": jnp.where(in_range, counts[ii], 0),
@@ -180,9 +180,14 @@ def _item_state(i, hi, starts, counts, bases, nodes):
         # pull) on the first trip — otherwise the queue deadlocks.
         "live": in_range,
     }
+    if gids is not None:
+        # value anchor when the item index space is NOT the node id space
+        # (batched random access decodes a closure of slots)
+        st["gid"] = jnp.where(in_range, gids[ii], 0)
+    return st
 
 
-def _pull(state, new_item, valid, hi, starts, counts, bases, nodes):
+def _pull(state, new_item, valid, hi, starts, counts, bases, nodes, gids=None):
     ii = jnp.where(valid, jnp.minimum(new_item, hi - 1), 0)
     state = dict(state)
     state["item"] = jnp.where(valid, ii, state["item"])
@@ -192,6 +197,8 @@ def _pull(state, new_item, valid, hi, starts, counts, bases, nodes):
     state["off"] = jnp.where(valid, 0, state["off"])
     state["prev"] = jnp.where(valid, 0, state["prev"])
     state["node"] = jnp.where(valid, nodes[ii], state["node"])
+    if gids is not None:
+        state["gid"] = jnp.where(valid, gids[ii], state["gid"])
     return state
 
 
@@ -228,7 +235,7 @@ def _run_tiers(n_items, n_heavy, lanes, unroll, init_for, step, apply_fn, pull_f
 )
 def _stage2_blocks(
     words, pos, block_count, d, ref, skey, lanes, total_out, n_items=None, unroll=4, n_heavy=0,
-    pre_d=None,
+    pre_d=None, dp_full=None,
 ):
     """Decode all copy-block lists; returns (blocks_flat, block_start,
     pos_after, copied, extra_count, interval-gated cursor updates).
@@ -308,11 +315,17 @@ def _stage2_blocks(
         copied = jnp.zeros(n, I32)
         total_b_node = jnp.zeros(n, I32)
     has_ref = ref > 0
-    parent = jnp.where(has_ref, node_ids - ref, 0)
-    dp = d[jnp.clip(parent, 0, None)]
-    if pre_d is not None:
-        w = pre_d.shape[0]
-        dp = jnp.where(parent >= 0, dp, pre_d[jnp.clip(w + parent, 0, w - 1)])
+    if dp_full is not None:
+        # batched random access: the caller supplies each slot's parent
+        # outdegree directly (parents live at fixed slot offsets, not at
+        # node_ids - ref in this index space)
+        dp = dp_full
+    else:
+        parent = jnp.where(has_ref, node_ids - ref, 0)
+        dp = d[jnp.clip(parent, 0, None)]
+        if pre_d is not None:
+            w = pre_d.shape[0]
+            dp = jnp.where(parent >= 0, dp, pre_d[jnp.clip(w + parent, 0, w - 1)])
     tail = jnp.where(has_ref & ((block_count & 1) == 0), dp - total_b_node, 0)
     copied = copied + tail
     extra_count = jnp.where(has_ref, d - copied, d)
@@ -346,7 +359,8 @@ def _stage2_blocks(
     jax.jit, static_argnames=("skey", "lanes", "total_out", "n_items", "unroll", "n_heavy")
 )
 def _stage3_intervals(
-    words, pos, int_count, extra_count, skey, lanes, total_out, n_items=None, unroll=2, n_heavy=0
+    words, pos, int_count, extra_count, skey, lanes, total_out, n_items=None, unroll=2, n_heavy=0,
+    node_gid=None,
 ):
     (_o, _r, _bc, _blk, _res, zeta_k, _w, minint) = skey
     n = pos.shape[0]
@@ -358,16 +372,18 @@ def _stage3_intervals(
     int_start = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(int_count, dtype=I32)])
     starts = pos[order]
     bases = int_start[order]
+    gids = node_gid[order] if node_gid is not None else None
 
     def init_for(hi):
-        return lambda i: _item_state(i, hi, starts, counts, bases, order)
+        return lambda i: _item_state(i, hi, starts, counts, bases, order, gids)
 
     def step(state):
         active = state["remaining"] > 0
         lraw, p = J.read_gamma_u(wrows, state["pos"])
         first = state["off"] == 0
+        anchor = state["gid"] if gids is not None else state["node"]
         left = jnp.where(
-            first, state["node"] + J.nat2int_u(lraw), state["prev"] + 1 + lraw.astype(I32)
+            first, anchor + J.nat2int_u(lraw), state["prev"] + 1 + lraw.astype(I32)
         )
         ln_raw, p2 = J.read_gamma(wrows, p)
         ln = ln_raw + minint
@@ -393,7 +409,7 @@ def _stage3_intervals(
 
     def pull_for(hi):
         return lambda state, new_item, valid: _pull(
-            state, new_item, valid, hi, starts, counts, bases, order
+            state, new_item, valid, hi, starts, counts, bases, order, gids
         )
 
     if n_items > 0:
@@ -432,7 +448,8 @@ def _stage3_intervals(
     jax.jit, static_argnames=("skey", "lanes", "total_out", "n_items", "unroll", "n_heavy")
 )
 def _stage4_residuals(
-    words, pos, residual_count, skey, lanes, total_out, n_items=None, unroll=8, n_heavy=0
+    words, pos, residual_count, skey, lanes, total_out, n_items=None, unroll=8, n_heavy=0,
+    node_gid=None,
 ):
     (_o, _r, _bc, _blk, res_c, zeta_k, _w, _mi) = skey
     n = pos.shape[0]
@@ -445,15 +462,17 @@ def _stage4_residuals(
     res_start = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(residual_count, dtype=I32)])
     starts = pos[order]
     bases = res_start[order]
+    gids = node_gid[order] if node_gid is not None else None
 
     def init_for(hi):
-        return lambda i: _item_state(i, hi, starts, counts, bases, order)
+        return lambda i: _item_state(i, hi, starts, counts, bases, order, gids)
 
     def step(state):
         active = state["remaining"] > 0
         v, newpos = read_u(wrows, state["pos"])
         first = state["off"] == 0
-        val = jnp.where(first, state["node"] + J.nat2int_u(v), state["prev"] + v.astype(I32) + 1)
+        anchor = state["gid"] if gids is not None else state["node"]
+        val = jnp.where(first, anchor + J.nat2int_u(v), state["prev"] + v.astype(I32) + 1)
         tgt = jnp.where(active, state["base"] + state["off"], total_out + 1)
         state = dict(state)
         state["pos"] = jnp.where(active, newpos, state["pos"])
@@ -469,7 +488,7 @@ def _stage4_residuals(
 
     def pull_for(hi):
         return lambda state, new_item, valid: _pull(
-            state, new_item, valid, hi, starts, counts, bases, order
+            state, new_item, valid, hi, starts, counts, bases, order, gids
         )
 
     if n_items > 0:
