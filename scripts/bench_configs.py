@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""BASELINE.json benchmark configs 1-5 (one JSON line per config).
+
+  1. default compress + decompress, cnr-2000 (zeta_3, w=7, maxref=3)
+  2. code sweep: gamma/delta/zeta_k residual coding x window 0 / 7
+  3. deep reference chains + intervalization: synthetic deep-chain graph,
+     maxref=inf, min-interval sweep (uk-2002 is not redistributable in-repo;
+     the synthetic graph reproduces the regime: long same-prefix lists)
+  4. transpose + Gray/lex permutation + recompress
+  5. device random-access successor queries + adjacency (BatchQuery)
+
+Configs 1-4 exercise the host compression pipeline (the production
+compress path, optionally the native C++ codec); config 5 runs on
+jax.devices().  Results land on stdout and in BENCH_CONFIGS.json.
+
+Usage: python scripts/bench_configs.py [1 2 3 4 5]
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CNR = "/root/reference/slow/it/unimi/dsi/webgraph/cnr-2000"
+OUT = []
+
+
+def emit(rec):
+    print(json.dumps(rec), flush=True)
+    OUT.append(rec)
+
+
+def load_cnr():
+    from webgraph_tpu.formats.bvgraph import BVGraph
+    from webgraph_tpu.formats import bvgraph_np
+    from webgraph_tpu.graph.csr import CSRGraph
+
+    bv = BVGraph.load(CNR)
+    off, succ = bvgraph_np.decode_to_csr(bv)
+    return bv, CSRGraph(off, succ)
+
+
+def time_store(g, tmp, **kw):
+    from webgraph_tpu.formats.bvgraph import BVGraph
+
+    base = os.path.join(tmp, "g")
+    t0 = time.perf_counter()
+    stats = BVGraph.store(g, base, **kw)
+    dt = time.perf_counter() - t0
+    return base, stats, dt
+
+
+def config1():
+    from webgraph_tpu.formats import bvgraph_np
+    from webgraph_tpu.formats.bvgraph import BVGraph
+
+    bv, g = load_cnr()
+    m = g.num_arcs()
+    with tempfile.TemporaryDirectory() as tmp:
+        base, stats, enc_t = time_store(g, tmp, min_interval_length=3)
+        bv2 = BVGraph.load(base)
+        t0 = time.perf_counter()
+        bvgraph_np.decode_to_csr(bv2)
+        dec_t = time.perf_counter() - t0
+        emit({
+            "config": 1,
+            "metric": "cnr-2000 default compress+decompress (host)",
+            "encode_Medges_s": round(m / enc_t / 1e6, 2),
+            "decode_Medges_s": round(m / dec_t / 1e6, 2),
+            "bits_per_link": float(stats["bitsperlink"]),
+        })
+
+
+def config2():
+    from webgraph_tpu.bits import codes as C
+    from webgraph_tpu.formats.bvgraph import BVGraphSettings
+
+    bv, g = load_cnr()
+    m = g.num_arcs()
+    rows = []
+    for name, coding, k in (("gamma", C.GAMMA, 3), ("delta", C.DELTA, 3),
+                            ("zeta3", C.ZETA, 3), ("zeta5", C.ZETA, 5)):
+        for w in (0, 7):
+            st = BVGraphSettings(
+                window_size=w, max_ref_count=3 if w else 0,
+                min_interval_length=3, zeta_k=k)
+            st.codings["RESIDUALS"] = coding
+            with tempfile.TemporaryDirectory() as tmp:
+                base, stats, enc_t = time_store(g, tmp, settings=st)
+                rows.append({
+                    "residuals": name, "window": w,
+                    "bits_per_link": float(stats["bitsperlink"]),
+                    "encode_Medges_s": round(m / enc_t / 1e6, 2),
+                })
+    emit({"config": 2, "metric": "cnr-2000 code sweep (residual coding x window)",
+          "rows": rows})
+
+
+def deep_chain_graph(n=60000, period=37):
+    from webgraph_tpu.graph.csr import CSRGraph
+
+    lists = []
+    for x in range(n // 2):
+        lists.append(sorted(set(range(0, 1 + x % period))
+                            | {n - 1 - (x % 5), n // 2 + (x % 97)}))
+    return CSRGraph.from_lists(lists + [[]] * (n - n // 2))
+
+
+def config3():
+    g = deep_chain_graph()
+    m = g.num_arcs()
+    rows = []
+    for minint in (0, 2, 4, 8):
+        with tempfile.TemporaryDirectory() as tmp:
+            base, stats, enc_t = time_store(
+                g, tmp, window_size=7, max_ref_count=2**31 - 1,
+                min_interval_length=minint)
+            rows.append({
+                "min_interval": minint,
+                "bits_per_link": float(stats["bitsperlink"]),
+                "avgref": float(stats.get("avgref", 0)),
+                "encode_Medges_s": round(m / enc_t / 1e6, 2),
+            })
+    emit({"config": 3,
+          "metric": "deep-chain synthetic (maxref=inf, minint sweep)",
+          "n": g.num_nodes(), "m": m, "rows": rows})
+
+
+def config4():
+    from webgraph_tpu.transform.transform import (
+        gray_code_permutation, lexicographical_permutation, map_graph,
+        transpose)
+
+    bv, g = load_cnr()
+    m = g.num_arcs()
+    t0 = time.perf_counter()
+    gt = transpose(g)
+    t_transpose = time.perf_counter() - t0
+    rows = [{"step": "transpose", "Medges_s": round(m / t_transpose / 1e6, 2)}]
+    for name, permfn in (("gray", gray_code_permutation),
+                         ("lex", lexicographical_permutation)):
+        t0 = time.perf_counter()
+        perm = permfn(g)
+        t_perm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        gp = map_graph(g, perm)
+        t_map = time.perf_counter() - t0
+        with tempfile.TemporaryDirectory() as tmp:
+            base, stats, enc_t = time_store(gp, tmp, min_interval_length=3)
+        rows.append({
+            "step": f"{name}-permute+recompress",
+            "perm_s": round(t_perm, 2), "map_s": round(t_map, 2),
+            "encode_Medges_s": round(m / enc_t / 1e6, 2),
+            "bits_per_link": float(stats["bitsperlink"]),
+        })
+    emit({"config": 4, "metric": "cnr-2000 transpose + permute + recompress",
+          "rows": rows})
+
+
+def config5():
+    import jax
+
+    from webgraph_tpu.formats.bvgraph import BVGraph
+    from webgraph_tpu.formats.bvgraph_query import BatchQuery
+
+    bv = BVGraph.load(CNR)
+    n = bv.num_nodes()
+    Q = 256
+    q = BatchQuery(bv, batch_size=Q)
+    rng = np.random.default_rng(11)
+    nodes = rng.integers(0, n, Q).astype(np.int32)
+    counts, rows = q.query(nodes)  # compile + warm
+    arcs = int(np.asarray(counts).sum())
+    reps = 5
+    best = float("inf")
+    for rep in range(reps):
+        batch = rng.integers(0, n, Q).astype(np.int32)
+        t0 = time.perf_counter()
+        counts, rows = q.query(batch)
+        c = int(np.asarray(counts).sum())  # forces completion
+        best = min(best, time.perf_counter() - t0)
+    ns_per_node = best / Q * 1e9
+    emit({
+        "config": 5,
+        "metric": "device batched random-access successors (cnr-2000)",
+        "backend": jax.default_backend(),
+        "batch": Q,
+        "ns_per_node": round(ns_per_node, 1),
+        "nodes_per_s": round(Q / best, 1),
+    })
+
+
+def main():
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    for c in which:
+        globals()[f"config{c}"]()
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_CONFIGS.json"), "w") as f:
+        for rec in OUT:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
