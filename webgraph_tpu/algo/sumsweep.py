@@ -50,6 +50,102 @@ class SumSweepDirectedDiameterRadius:
         self.iterations = 0
         self._done = False
 
+    # -- SCC-DAG upper-bound machinery (the reference's core technique:
+    # SumSweepDirectedDiameterRadius.java computeUB / allCCUpperBound;
+    # Borassi et al. Algorithm 3) -------------------------------------
+
+    def _scc_prepare(self) -> None:
+        """Condensation + per-SCC pivots + SCC-restricted pivot distances +
+        DAG DP bounds.  One-time cost O(n + m): every intra-SCC arc is
+        relaxed once per restricted-BFS level, every boundary arc enters the
+        DP once per direction."""
+        from webgraph_tpu.algo.components import StronglyConnectedComponents
+
+        n = self.n
+        offsets, succ = self.graph.to_csr()
+        src = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        dst = succ.astype(np.int64)
+        comp = StronglyConnectedComponents.compute(self.graph).component.astype(np.int64)
+        nc = int(comp.max()) + 1 if n else 0
+        self._comp = comp
+        intra = comp[src] == comp[dst]
+        isrc, idst = src[intra], dst[intra]
+        bsrc, bdst = src[~intra], dst[~intra]
+
+        # pivot of each SCC: its lowest-numbered node
+        pivot_of = np.full(nc, n, dtype=np.int64)
+        np.minimum.at(pivot_of, comp, np.arange(n, dtype=np.int64))
+        self._pivot_of = pivot_of
+
+        def restricted(es, ed):
+            """Multi-source BFS from every SCC's pivot, restricted to
+            intra-SCC arcs: d(p_C, x) for all x (or x -> p_C on reversed)."""
+            dist = np.full(n, -1, dtype=np.int64)
+            dist[pivot_of] = 0
+            r = 0
+            while True:
+                active = (dist[es] == r) & (dist[ed] < 0)
+                if not active.any():
+                    break
+                dist[ed[active]] = r + 1
+                r += 1
+            return dist
+
+        dF_in = restricted(isrc, idst)        # d_C(p_C, x)
+        dB_in = restricted(idst, isrc)        # d_C(x, p_C)
+        self._dF_in, self._dB_in = dF_in, dB_in
+
+        # topological levels of the condensation (longest path from sources);
+        # fixpoint over DEDUPED dag edges converges in DAG-depth rounds
+        lvl = np.zeros(nc, dtype=np.int64)
+        cs, cd = comp[bsrc], comp[bdst]
+        if len(cs):
+            uniq = np.unique(cs * nc + cd)
+            ucs, ucd = uniq // nc, uniq % nc
+            for _ in range(nc):
+                before = lvl.copy()
+                np.maximum.at(lvl, ucd, lvl[ucs] + 1)
+                if np.array_equal(before, lvl):
+                    break
+        self._lvl = lvl
+
+        # pivot ecc inside its SCC
+        eF_in = np.zeros(nc, dtype=np.int64)
+        np.maximum.at(eF_in, comp, dF_in)
+        eB_in = np.zeros(nc, dtype=np.int64)
+        np.maximum.at(eB_in, comp, dB_in)
+
+        # DP over the DAG, level-vectorized: every DAG arc c->d has
+        # lvl[d] > lvl[c], so processing source levels in descending order
+        # (forward bounds) / target levels ascending (backward bounds)
+        # finalizes each pivot bound exactly once
+        UFp = eF_in.copy()
+        UBp = eB_in.copy()
+        if len(bsrc):
+            base = dF_in[bsrc] + 1 + dB_in[bdst]
+            src_lvl = lvl[cs]
+            for lev in np.unique(src_lvl)[::-1]:
+                sel = src_lvl == lev
+                np.maximum.at(UFp, cs[sel], base[sel] + UFp[cd[sel]])
+            dst_lvl = lvl[cd]
+            for lev in np.unique(dst_lvl):
+                sel = dst_lvl == lev
+                np.maximum.at(UBp, cd[sel], base[sel] + UBp[cs[sel]])
+        # per-node bounds: go through the own pivot
+        self._uF_scc = dB_in + UFp[comp] if n else np.zeros(0, dtype=np.int64)
+        self._uB_scc = dF_in + UBp[comp] if n else np.zeros(0, dtype=np.int64)
+
+        # radial vertices (reference computeAccRadial,
+        # SumSweepDirectedDiameterRadius.java:597-600): in the biggest SCC
+        # or able to reach it — the radius is taken over these only
+        sizes = np.bincount(comp, minlength=nc)
+        big = int(np.argmax(sizes)) if nc else 0
+        if n:
+            bs = bfs_distances(self.transpose, int(pivot_of[big]))
+            self._acc_radial = bs >= 0
+        else:
+            self._acc_radial = np.zeros(0, dtype=bool)
+
     def compute(self) -> None:
         n = self.n
         INF = np.int64(2**31)
@@ -60,57 +156,75 @@ class SumSweepDirectedDiameterRadius:
         eccF = np.full(n, -1, dtype=np.int64)
         eccB = np.full(n, -1, dtype=np.int64)
         swept = np.zeros(n, dtype=bool)
+        if n == 0:
+            self._eccF = lF
+            self._eccB = lB
+            self._diameter = 0
+            self._radius = 0
+            self._done = True
+            return
 
-        # start from the max-outdegree node (reference's first pivot)
+        self._scc_prepare()
+        np.minimum(uF, self._uF_scc, out=uF)
+        np.minimum(uB, self._uB_scc, out=uB)
+        comp = self._comp
+        dF_in, dB_in = self._dF_in, self._dB_in
+
         offsets, _ = self.graph.to_csr()
         pivot = int(np.argmax(np.diff(offsets)))
-
         want_all = self.output in (OutputLevel.ALL, OutputLevel.ALL_FORWARD)
+
+        def sweep(v: int) -> None:
+            """Forward+backward BFS from v: exact eccs of v, lower bounds
+            everywhere, upper bounds for v's SCC (d(x,v) <= d_C(x,p)+d_C(p,v),
+            Reach(x) = Reach(v) within an SCC) and globally when v reaches
+            (or is reached by) everything."""
+            fs = bfs_distances(self.graph, v)
+            bs = bfs_distances(self.transpose, v)
+            self.iterations += 2
+            swept[v] = True
+            reachF = fs >= 0
+            reachB = bs >= 0
+            eF = int(fs.max())
+            eB = int(bs.max())
+            eccF[v] = eF
+            uF[v] = lF[v] = eF
+            eccB[v] = eB
+            uB[v] = lB[v] = eB
+            np.maximum(lF, np.where(reachB, bs, 0), out=lF)
+            np.maximum(lB, np.where(reachF, fs, 0), out=lB)
+            same = comp == comp[v]
+            dxv = dB_in + dF_in[v]   # d(x, v) bound inside the SCC
+            np.minimum(uF, np.where(same, dxv + eF, INF), out=uF)
+            dvx = dF_in + dB_in[v]
+            np.minimum(uB, np.where(same, dvx + eB, INF), out=uB)
+            if bool(reachF.all()):
+                np.minimum(uF, np.where(reachB, bs + eF, uF), out=uF)
+            if bool(reachB.all()):
+                np.minimum(uB, np.where(reachF, fs + eB, uB), out=uB)
+
         for it in range(2 * n + 2):
             if swept[pivot]:
                 remaining = np.flatnonzero(~swept)
                 if len(remaining) == 0:
                     break
                 pivot = int(remaining[0])
-            fs = bfs_distances(self.graph, pivot)  # d(pivot, x)
-            bs = bfs_distances(self.transpose, pivot)  # d(x, pivot)
-            self.iterations += 2
-            swept[pivot] = True
-            reachF = fs >= 0
-            reachB = bs >= 0
-            eF = int(fs.max())
-            eB = int(bs.max())
-            eccF[pivot] = eF
-            uF[pivot] = lF[pivot] = eF
-            eccB[pivot] = eB
-            uB[pivot] = lB[pivot] = eB
-            # lower bounds (always valid: d(x,s) and d(s,x) are distances)
-            np.maximum(lF, np.where(reachB, bs, 0), out=lF)
-            np.maximum(lB, np.where(reachF, fs, 0), out=lB)
-            # upper bounds via the triangle inequality d(v,x) <= d(v,s)+d(s,x):
-            # valid only when s reaches every node v reaches — guaranteed iff
-            # s reaches all nodes (always true on strongly connected graphs)
-            if bool(reachF.all()):
-                np.minimum(uF, np.where(reachB, bs + eF, uF), out=uF)
-            if bool(reachB.all()):
-                np.minimum(uB, np.where(reachF, fs + eB, uB), out=uB)
+            sweep(pivot)
             exactF = lF >= uF
             exactB = lB >= uB
-            eccF[exactF] = lF[exactF]
-            eccB[exactB] = lB[exactB]
+            eccF[exactF] = np.maximum(eccF[exactF], lF[exactF])
+            eccB[exactB] = np.maximum(eccB[exactB], lB[exactB])
 
-            # check termination per output level
             dl = int(max(lF.max(initial=0), lB.max(initial=0)))
-            dl = max(dl, int(eccF[swept].max(initial=0)))
-            du = int(max(uF.max(initial=0), 0))
-            rl_candidates = uF
-            rl = int(uF.min())
-            ru = int(lF.min())
-            diam_done = dl >= du or bool(np.all(exactF))
-            rad_done = rl <= ru or bool(np.all(exactF))
+            du = int(uF.max(initial=0))
+            radial = self._acc_radial
+            rad_exact = exactF & radial
+            ru = int(np.where(radial, lF, INF).min()) if radial.any() else 0
+            diam_done = dl >= du
+            rad_done = (bool(lF[rad_exact].min(initial=INF) <= ru)
+                        if rad_exact.any() else not radial.any())
             if want_all:
-                needed = np.all(exactF) and (self.output != OutputLevel.ALL or np.all(exactB))
-                if needed:
+                if np.all(exactF) and (self.output != OutputLevel.ALL or np.all(exactB)):
                     break
             elif self.output == OutputLevel.DIAMETER and diam_done:
                 break
@@ -118,53 +232,61 @@ class SumSweepDirectedDiameterRadius:
                 break
             elif self.output == OutputLevel.RADIUS_DIAMETER and diam_done and rad_done:
                 break
-            # next pivot: biggest forward gap, alternating with radius probes
-            gap = np.where(swept, -1, uF - lF)
+            # next pivot (reference StepSweep policy): work only on the
+            # still-open certification goal — largest upper bound / largest
+            # gap for the diameter, smallest radial lower bound for the
+            # radius (certifying that candidate exactly and raising lF
+            # everywhere through the backward half of the sweep)
+            need_diam = (not diam_done) and self.output in (
+                OutputLevel.DIAMETER, OutputLevel.RADIUS_DIAMETER)
+            need_rad = (not rad_done) and self.output in (
+                OutputLevel.RADIUS, OutputLevel.RADIUS_DIAMETER)
+            if want_all:
+                need_diam = need_rad = True
+            rad_turn = need_rad and (not need_diam or it % 2 == 1)
+            if rad_turn:
+                if it % 4 == 3:
+                    # witness sweep: a hard-to-reach peripheral node whose
+                    # backward BFS raises lF for the central candidates
+                    w = np.where(swept, -1, lB)
+                    if (w >= 0).any():
+                        pivot = int(np.argmax(w))
+                        continue
+                cand = np.where(swept | exactF | ~radial, INF, lF)
+                if (cand < INF).any():
+                    pivot = int(np.argmin(cand))
+                    continue
             if it % 2 == 0:
-                pivot = int(np.argmax(np.where(swept, -1, uF)))
+                pivot = int(np.argmax(np.where(swept | exactF, -1, uF)))
             else:
-                pivot = int(np.argmax(gap))
+                pivot = int(np.argmax(np.where(swept | exactF, -1, uF - lF)))
 
-        # finalize any remaining bounds exactly if ALL requested
+        # finalize remaining exact eccentricities if ALL requested
         if want_all:
-            for x in np.flatnonzero(eccF < 0):
-                fs = bfs_distances(self.graph, int(x))
-                eccF[x] = int(fs.max())
-                self.iterations += 1
-            if self.output == OutputLevel.ALL:
-                for x in np.flatnonzero(eccB < 0):
-                    bs = bfs_distances(self.transpose, int(x))
-                    eccB[x] = int(bs.max())
-                    self.iterations += 1
-
-        # exact diameter/radius from (possibly partial) exact eccs
-        known = eccF >= 0
-        self._eccF = np.where(known, eccF, lF)
-        self._eccB = np.where(eccB >= 0, eccB, lB)
-        self._diameter = int(max(self._eccF.max(initial=0), self._eccB.max(initial=0)))
-        self._radius = int(self._eccF.min()) if n else 0
-        # make sure radius/diameter are certified when requested
-        if self.output in (OutputLevel.RADIUS, OutputLevel.RADIUS_DIAMETER, OutputLevel.DIAMETER):
-            # uncertified entries: sweep them (guarantees exactness)
-            while True:
-                unc_d = np.flatnonzero((uF > self._diameter) & (eccF < 0))
-                unc_r = np.flatnonzero((lF < self._radius) & (eccF < 0))
-                todo = set()
-                if self.output != OutputLevel.RADIUS:
-                    todo.update(unc_d.tolist())
-                if self.output != OutputLevel.DIAMETER:
-                    todo.update(unc_r.tolist())
-                if not todo:
-                    break
-                x = todo.pop()
+            for x in np.flatnonzero(~(lF >= uF)):
                 fs = bfs_distances(self.graph, int(x))
                 e = int(fs.max())
                 eccF[x] = e
                 uF[x] = lF[x] = e
                 self.iterations += 1
-                self._eccF[x] = e
-                self._diameter = max(self._diameter, e)
-                self._radius = min(self._radius, e)
+            if self.output == OutputLevel.ALL:
+                for x in np.flatnonzero(~(lB >= uB)):
+                    bs = bfs_distances(self.transpose, int(x))
+                    e = int(bs.max())
+                    eccB[x] = e
+                    uB[x] = lB[x] = e
+                    self.iterations += 1
+
+        exactF = lF >= uF
+        exactB = lB >= uB
+        eccF[exactF] = np.maximum(eccF[exactF], lF[exactF])
+        eccB[exactB] = np.maximum(eccB[exactB], lB[exactB])
+        self._eccF = np.where(eccF >= 0, eccF, lF)
+        self._eccB = np.where(eccB >= 0, eccB, lB)
+        self._diameter = int(max(lF.max(initial=0), lB.max(initial=0)))
+        rad_exact = exactF & self._acc_radial
+        self._radius = (int(lF[rad_exact].min()) if rad_exact.any()
+                        else (int(np.where(exactF, lF, INF).min()) if exactF.any() else 0))
         self._done = True
 
     def get_diameter(self) -> int:
