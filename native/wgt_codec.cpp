@@ -464,27 +464,35 @@ static int64_t diff_comp(BitWriter* w, const Settings& s, int64_t x, int64_t ref
     return written;
 }
 
-int64_t wgt_bvgraph_encode(const int64_t* offsets, const int32_t* succ, int64_t n,
-                           int window, int maxref, int minint, int zetak,
-                           int outd_c, int ref_c, int blk_c, int bcnt_c, int res_c, int off_c,
-                           uint8_t** out_graph, int64_t* out_graph_bits,
-                           uint8_t** out_off, int64_t* out_off_bits,
-                           int64_t* stats /* 10 entries, zeroed by caller */) {
+int64_t wgt_bvgraph_encode_range(const int64_t* offsets, const int32_t* succ, int64_t n,
+                                 int64_t first_node, int skip_first_offset,
+                                 int window, int maxref, int minint, int zetak,
+                                 int outd_c, int ref_c, int blk_c, int bcnt_c, int res_c, int off_c,
+                                 uint8_t** out_graph, int64_t* out_graph_bits,
+                                 uint8_t** out_off, int64_t* out_off_bits,
+                                 int64_t* stats /* 10 entries, zeroed by caller */) {
+    // Node-range shard encode: values are anchored to the GLOBAL node id
+    // (first_node + i); the reference window starts fresh at the shard
+    // boundary — exactly the reference's per-thread CompressionThread
+    // semantics over splitNodeIterators ranges (BVGraph.java:2469-2487).
+    // skip_first_offset: shards k >= 1 omit their leading offset delta (the
+    // preceding shard's trailing delta plays that role after bit-concat).
     Settings s{window, maxref, minint, zetak, outd_c, ref_c, blk_c, bcnt_c, res_c, off_c};
     BitWriter g, o;
     const int cbs = window + 1;
     std::vector<std::vector<int32_t>> win(cbs);
     std::vector<int64_t> winref(cbs, 0);
     int64_t last_offset = 0;
-    for (int64_t x = 0; x < n; x++) {
-        int64_t d = offsets[x + 1] - offsets[x];
-        o.write(off_c, g.written - last_offset, zetak);
+    for (int64_t xi = 0; xi < n; xi++) {
+        int64_t x = first_node + xi;
+        int64_t d = offsets[xi + 1] - offsets[xi];
+        if (xi > 0 || !skip_first_offset) o.write(off_c, g.written - last_offset, zetak);
         last_offset = g.written;
         int64_t b0 = g.written;
         g.write(outd_c, d, zetak);
         stats[0] += g.written - b0;
         std::vector<int32_t>& mine = win[x % cbs];
-        mine.assign(succ + offsets[x], succ + offsets[x + 1]);
+        mine.assign(succ + offsets[xi], succ + offsets[xi + 1]);
         if (d > 0) {
             update_bins(x, mine.data(), d, stats + 10);
             int64_t best_cost = INT64_MAX, best_cand = -1, best_ref = -1;
@@ -510,6 +518,18 @@ int64_t wgt_bvgraph_encode(const int64_t* offsets, const int32_t* succ, int64_t 
     *out_graph = g.finish(out_graph_bits);
     *out_off = o.finish(out_off_bits);
     return offsets[n];
+}
+
+int64_t wgt_bvgraph_encode(const int64_t* offsets, const int32_t* succ, int64_t n,
+                           int window, int maxref, int minint, int zetak,
+                           int outd_c, int ref_c, int blk_c, int bcnt_c, int res_c, int off_c,
+                           uint8_t** out_graph, int64_t* out_graph_bits,
+                           uint8_t** out_off, int64_t* out_off_bits,
+                           int64_t* stats) {
+    return wgt_bvgraph_encode_range(offsets, succ, n, 0, 0,
+                                    window, maxref, minint, zetak,
+                                    outd_c, ref_c, blk_c, bcnt_c, res_c, off_c,
+                                    out_graph, out_graph_bits, out_off, out_off_bits, stats);
 }
 
 void wgt_free(void* p) { std::free(p); }

@@ -332,6 +332,18 @@ class OutputBitStream:
         # _acc, which we handled exactly.
         return nbits
 
+    def append_raw(self, data: bytes, nbits: int) -> int:
+        """Bit-level concatenation of an MSB-first byte stream (e.g. a
+        native-encoder shard) onto this one."""
+        full, tail = divmod(nbits, 64)
+        need = (full + (1 if tail else 0)) * 8
+        arr = np.frombuffer(data[:need].ljust(need, b"\0"), dtype=">u8")
+        for i in range(full):
+            self.write_bits(int(arr[i]), 64)
+        if tail:
+            self.write_bits(int(arr[full]) >> (64 - tail), tail)
+        return nbits
+
     def to_bytes(self) -> bytes:
         words = list(self._words)
         acc, acclen = self._acc, self._acclen

@@ -537,9 +537,13 @@ class BVGraph(ImmutableGraph):
     @classmethod
     def _store_native(cls, graph, basename, s, num_shards, comment) -> dict | None:
         """Fast path: the native C++ encoder (byte-identical output).
-        Used for single-shard encodes when the library is available."""
-        if num_shards > 1:
-            return None
+
+        ``num_shards > 1`` compresses node-range shards CONCURRENTLY on a
+        thread pool (the ctypes calls release the GIL) and bit-concatenates
+        the per-shard graph/offset streams in node order — the reference's
+        CompressionThread + copyTo merge (BVGraph.java:2469-2550).  The
+        result is byte-identical to the serial sharded Python encoder
+        (each shard starts a fresh reference window)."""
         try:
             from webgraph_tpu import native
         except ImportError:
@@ -551,10 +555,36 @@ class BVGraph(ImmutableGraph):
         except (NotImplementedError, TypeError):
             return None
         offsets, succ = graph.to_csr()
-        out = native.bvgraph_encode(offsets, succ, s)
-        if out is None:
-            return None
-        graph_bytes, gbits, off_bytes, obits, raw = out
+        if num_shards <= 1:
+            out = native.bvgraph_encode(offsets, succ, s)
+            if out is None:
+                return None
+            graph_bytes, gbits, off_bytes, obits, raw = out
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            bounds = np.linspace(0, n, num_shards + 1).astype(np.int64)
+
+            def enc(k):
+                a, b = int(bounds[k]), int(bounds[k + 1])
+                loc_off = offsets[a : b + 1] - offsets[a]
+                return native.bvgraph_encode(
+                    loc_off, succ[offsets[a] : offsets[b]], s,
+                    first_node=a, skip_first_offset=k > 0)
+
+            with ThreadPoolExecutor(max_workers=num_shards) as ex:
+                parts = list(ex.map(enc, range(num_shards)))
+            if any(p is None for p in parts):
+                return None
+            gobs = OutputBitStream()
+            oobs = OutputBitStream()
+            raw = np.zeros(76, dtype=np.int64)
+            for gb, gbits_k, ob, obits_k, st in parts:
+                gobs.append_raw(gb, gbits_k)
+                oobs.append_raw(ob, obits_k)
+                raw += st
+            gbits, obits = gobs.written_bits, oobs.written_bits
+            graph_bytes, off_bytes = gobs.to_bytes(), oobs.to_bytes()
         with open(f"{basename}{GRAPH_EXTENSION}", "wb") as f:
             f.write(graph_bytes)
         with open(f"{basename}{OFFSETS_EXTENSION}", "wb") as f:

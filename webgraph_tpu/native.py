@@ -68,6 +68,16 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.POINTER(_I64),
             ctypes.POINTER(_I64),
         ]
+        lib.wgt_bvgraph_encode_range.restype = _I64
+        lib.wgt_bvgraph_encode_range.argtypes = [
+            ctypes.POINTER(_I64), ctypes.POINTER(_I32), _I64, _I64, ctypes.c_int
+        ] + [ctypes.c_int] * 10 + [
+            ctypes.POINTER(_PU8),
+            ctypes.POINTER(_I64),
+            ctypes.POINTER(_PU8),
+            ctypes.POINTER(_I64),
+            ctypes.POINTER(_I64),
+        ]
         lib.wgt_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
@@ -115,9 +125,16 @@ def bvgraph_decode(data: bytes, n: int, m: int, settings) -> tuple[np.ndarray, n
     return out_off, out_succ
 
 
-def bvgraph_encode(offsets: np.ndarray, succ: np.ndarray, settings):
+def bvgraph_encode(offsets: np.ndarray, succ: np.ndarray, settings,
+                   first_node: int = 0, skip_first_offset: bool = False):
     """Returns (graph_bytes, graph_bits, offsets_bytes, offsets_bits, stats)
-    or None if the native library is unavailable."""
+    or None if the native library is unavailable.
+
+    ``first_node``/``skip_first_offset`` encode a node-range SHARD: values
+    anchor to global ids ``first_node + i`` and (for shards after the
+    first) the leading offset delta is omitted so shard offset streams
+    bit-concatenate exactly (reference thread-merge, BVGraph.java:2498-2550).
+    The ctypes call releases the GIL, so shards parallelize on threads."""
     lib = get_lib()
     if lib is None:
         return None
@@ -129,10 +146,12 @@ def bvgraph_encode(offsets: np.ndarray, succ: np.ndarray, settings):
     gbits = _I64()
     obits = _I64()
     stats = np.zeros(76, dtype=np.int64)  # 10 counters + 2x33 gap histograms
-    lib.wgt_bvgraph_encode(
+    lib.wgt_bvgraph_encode_range(
         offsets.ctypes.data_as(ctypes.POINTER(_I64)),
         succ.ctypes.data_as(ctypes.POINTER(_I32)),
         n,
+        first_node,
+        1 if skip_first_offset else 0,
         settings.window_size,
         settings.max_ref_count,
         settings.min_interval_length,
