@@ -181,3 +181,64 @@ def test_bidirectional(er):
     assert bi.transposed().successors(x).tolist() == preds
     sym = bi.symmetrized()
     assert CSRGraph.from_graph(sym.forward) == symmetrize(er)
+
+
+def test_keyed_permutations_match_comparator_oracle():
+    """The vectorized column-refinement permutations must equal the
+    reference comparator semantics (Transform.java:2383-2547) exactly —
+    checked against a literal cmp_to_key transcription."""
+    import functools
+
+    from webgraph_tpu.graph.builders import MutableGraph
+
+    def gray_cmp(offsets, succ):
+        def cmp(x, y):
+            i1 = succ[offsets[x]: offsets[x + 1]]
+            i2 = succ[offsets[y]: offsets[y + 1]]
+            parity = False
+            k = 0
+            while True:
+                a = int(i1[k]) if k < len(i1) else -1
+                b = int(i2[k]) if k < len(i2) else -1
+                if a == -1 and b == -1:
+                    return 0
+                if a == -1:
+                    return 1 if parity else -1
+                if b == -1:
+                    return -1 if parity else 1
+                if a != b:
+                    return 1 if (parity ^ (a < b)) else -1
+                parity = not parity
+                k += 1
+        return cmp
+
+    def lex_cmp(offsets, succ):
+        def cmp(x, y):
+            i1 = succ[offsets[x]: offsets[x + 1]]
+            i2 = succ[offsets[y]: offsets[y + 1]]
+            k = 0
+            while True:
+                a = int(i1[k]) if k < len(i1) else -1
+                b = int(i2[k]) if k < len(i2) else -1
+                if a == -1 and b == -1:
+                    return 0
+                if a == -1:
+                    return -1
+                if b == -1:
+                    return 1
+                if a != b:
+                    return b - a
+                k += 1
+        return cmp
+
+    for seed in (0, 3, 8):
+        g = MutableGraph.erdos_renyi(120, 0.06, seed=seed)
+        offsets, succ = g.to_csr()
+        n = g.num_nodes()
+        for perm_fn, mkcmp in ((gray_code_permutation, gray_cmp),
+                               (lexicographical_permutation, lex_cmp)):
+            want_order = sorted(range(n), key=functools.cmp_to_key(mkcmp(offsets, succ)))
+            want = np.zeros(n, dtype=np.int64)
+            want[want_order] = np.arange(n)
+            got = perm_fn(g)
+            np.testing.assert_array_equal(got, want, err_msg=f"{perm_fn.__name__} seed {seed}")

@@ -332,75 +332,73 @@ def line_graph(g: ImmutableGraph) -> tuple[CSRGraph, np.ndarray]:
 # ----------------------------------------------------------------------
 
 
-def _sorted_inverse(n: int, key_cmp) -> np.ndarray:
-    import functools
+def _colwise_permutation(offsets, succ, n, *, gray: bool, primary=None) -> np.ndarray:
+    """Key-based adjacency-row ordering shared by the Gray/lex permutations.
 
-    perm = sorted(range(n), key=functools.cmp_to_key(key_cmp))
-    inv = np.zeros(n, dtype=np.int64)
-    inv[perm] = np.arange(n)
-    return inv
+    Column-by-column group refinement (each pass one vectorized lexsort):
+    within a group of rows with identical prefixes, position k compares with
+    a fixed direction — Gray order flips direction with the prefix parity,
+    which inside such a group is simply k's parity; lexicographic order is
+    always larger-first with exhausted rows first.  This replaces the
+    per-pair comparator sorts (which could not scale past toy graphs) with
+    O(max-tied-prefix) vector passes — the TPU-era analog of the
+    reference's key-sort permutations (Transform.java:2383-2547)."""
+    lengths = np.diff(offsets).astype(np.int64)
+    INF = np.int64(1) << 62
+    if primary is None:
+        order = np.arange(n, dtype=np.int64)
+        groups = np.zeros(n, dtype=np.int64)
+    else:
+        primary = np.asarray(primary, dtype=np.int64)
+        order = np.argsort(primary, kind="stable")
+        p = primary[order]
+        groups = np.cumsum(np.concatenate([[False], p[1:] != p[:-1]]))
+    max_d = int(lengths.max()) if n else 0
+    for k in range(max_d):
+        has = lengths[order] > k
+        a = np.full(n, -1, dtype=np.int64)
+        a[has] = succ[offsets[order[has]] + k]
+        if gray and (k & 1):
+            key = np.where(a >= 0, a, INF)       # ascending, exhausted last
+        else:
+            key = np.where(a >= 0, -a, -INF)     # descending, exhausted first
+        idx = np.lexsort((key, groups))
+        order = order[idx]
+        gk = groups[idx]
+        kk = key[idx]
+        groups = np.cumsum(
+            np.concatenate([[False], (gk[1:] != gk[:-1]) | (kk[1:] != kk[:-1])]))
+        counts = np.bincount(groups, minlength=int(groups[-1]) + 1 if n else 0)
+        multi = counts[groups] > 1
+        if not multi.any() or not (lengths[order][multi] > k + 1).any():
+            break
+    perm = np.empty(n, dtype=np.int64)
+    perm[order] = np.arange(n, dtype=np.int64)
+    return perm
 
 
 def gray_code_permutation(g: ImmutableGraph) -> np.ndarray:
     """Permutation ordering adjacency rows by Gray-code order
     (reference grayCodePermutation, Transform.java:2383-2428)."""
     offsets, succ = g.to_csr()
-
-    def cmp(x: int, y: int) -> int:
-        i1 = succ[offsets[x] : offsets[x + 1]]
-        i2 = succ[offsets[y] : offsets[y + 1]]
-        parity = False
-        k = 0
-        while True:
-            a = int(i1[k]) if k < len(i1) else -1
-            b = int(i2[k]) if k < len(i2) else -1
-            if a == -1 and b == -1:
-                return 0
-            if a == -1:
-                return 1 if parity else -1
-            if b == -1:
-                return -1 if parity else 1
-            if a != b:
-                return 1 if (parity ^ (a < b)) else -1
-            parity = not parity
-            k += 1
-
-    return _sorted_inverse(g.num_nodes(), cmp)
+    return _colwise_permutation(offsets, succ, g.num_nodes(), gray=True)
 
 
 def host_by_host_gray_code_permutation(g: ImmutableGraph, host_map: np.ndarray, strict: bool) -> np.ndarray:
     """Gray-code permutation computed host by host (reference
-    hostByHostGrayCodePermutation, Transform.java:2455-2495)."""
+    hostByHostGrayCodePermutation, Transform.java:2455-2495); ``strict``
+    compares only same-host successors."""
     offsets, succ = g.to_csr()
     host_map = np.asarray(host_map)
-
-    def cmp(x: int, y: int) -> int:
-        t = int(host_map[x]) - int(host_map[y])
-        if t != 0:
-            return t
-        i1 = succ[offsets[x] : offsets[x + 1]]
-        i2 = succ[offsets[y] : offsets[y + 1]]
-        if strict:
-            h = host_map[x]
-            i1 = i1[host_map[i1] == h]
-            i2 = i2[host_map[i2] == h]
-        parity = False
-        k = 0
-        while True:
-            a = int(i1[k]) if k < len(i1) else -1
-            b = int(i2[k]) if k < len(i2) else -1
-            if a == -1 and b == -1:
-                return 0
-            if a == -1:
-                return 1 if parity else -1
-            if b == -1:
-                return -1 if parity else 1
-            if a != b:
-                return 1 if (parity ^ (a < b)) else -1
-            parity = not parity
-            k += 1
-
-    return _sorted_inverse(g.num_nodes(), cmp)
+    n = g.num_nodes()
+    if strict and n:
+        src = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        keep = host_map[succ] == host_map[src]
+        fsucc = succ[keep]
+        flens = np.bincount(src[keep], minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(flens)]).astype(np.int64)
+        succ = fsucc
+    return _colwise_permutation(offsets, succ, n, gray=True, primary=host_map)
 
 
 def lexicographical_permutation(g: ImmutableGraph) -> np.ndarray:
@@ -408,25 +406,7 @@ def lexicographical_permutation(g: ImmutableGraph) -> np.ndarray:
     numbered from zero FROM THE LEFT (reference lexicographicalPermutation,
     Transform.java:2518-2547)."""
     offsets, succ = g.to_csr()
-
-    def cmp(x: int, y: int) -> int:
-        i1 = succ[offsets[x] : offsets[x + 1]]
-        i2 = succ[offsets[y] : offsets[y + 1]]
-        k = 0
-        while True:
-            a = int(i1[k]) if k < len(i1) else -1
-            b = int(i2[k]) if k < len(i2) else -1
-            if a == -1 and b == -1:
-                return 0
-            if a == -1:
-                return -1
-            if b == -1:
-                return 1
-            if a != b:
-                return b - a
-            k += 1
-
-    return _sorted_inverse(g.num_nodes(), cmp)
+    return _colwise_permutation(offsets, succ, g.num_nodes(), gray=False)
 
 
 def random_permutation(g: ImmutableGraph, seed: int = 0) -> np.ndarray:
