@@ -135,3 +135,33 @@ def test_bvgraph_offsets_index_is_succinct(tmp_path):
     toff, tsucc = g.to_csr()
     for x in (0, 1, n // 2, n - 1):
         np.testing.assert_array_equal(bv.successors(x), tsucc[toff[x]:toff[x + 1]])
+
+
+def test_ef_vectorized_decode_matches_scalar(tmp_path):
+    """The vectorized bulk decoder must equal per-node scalar successors."""
+    from webgraph_tpu.graph.builders import MutableGraph
+
+    for seed, n, p in ((0, 200, 0.05), (3, 350, 0.02)):
+        g = MutableGraph.erdos_renyi(n, p, seed=seed)
+        base = str(tmp_path / f"ef{seed}")
+        EFGraph.store(g, base)
+        ef = EFGraph.load(base)
+        offsets, succ = ef.decode_to_csr()
+        toff, tsucc = g.to_csr()
+        np.testing.assert_array_equal(offsets, toff)
+        np.testing.assert_array_equal(succ, tsucc)
+
+
+def test_ef_skip_to_batch_matches_scalar(tmp_path):
+    from webgraph_tpu.graph.builders import MutableGraph
+
+    g = MutableGraph.erdos_renyi(300, 0.04, seed=7)
+    base = str(tmp_path / "ef")
+    EFGraph.store(g, base, log2_quantum=4)  # small quantum: pointers exercised
+    ef = EFGraph.load(base)
+    rng = np.random.default_rng(2)
+    xs = rng.integers(0, 300, 200)
+    bounds = rng.integers(0, 310, 200)
+    got = ef.skip_to_batch(xs, bounds)
+    want = np.array([ef.skip_to(int(x), int(b)) for x, b in zip(xs, bounds)])
+    np.testing.assert_array_equal(got, want)

@@ -361,6 +361,154 @@ class EFGraph(ImmutableGraph):
     def has_arc(self, x: int, y: int) -> bool:
         return self.skip_to(x, y) == y
 
+    # ------------------------------------------------------------------
+    # vectorized bulk paths (longword little-endian bit extraction over
+    # the whole stream; scalar LongWordReader remains the oracle)
+    # ------------------------------------------------------------------
+
+    def _w64(self) -> np.ndarray:
+        if getattr(self, "_w64_cache", None) is None:
+            w = np.asarray(self._ef_words, dtype=np.uint64)
+            self._w64_cache = np.concatenate([w, np.zeros(2, dtype=np.uint64)])
+        return self._w64_cache
+
+    def _vextract(self, pos, width):
+        """Bits [pos, pos+width) of the little-endian longword stream, per
+        lane (width <= 58; LongWordBitReader.extract analog)."""
+        w = self._w64()
+        pos = np.asarray(pos, dtype=np.int64)
+        wi = pos >> 6
+        sh = (pos & 63).astype(np.uint64)
+        lo = w[wi] >> sh
+        hi = np.where(sh > 0, w[wi + 1] << (np.uint64(64) - sh), np.uint64(0))
+        mask = (np.uint64(1) << np.asarray(width, dtype=np.uint64)) - np.uint64(1)
+        return ((lo | hi) & mask).astype(np.int64)
+
+    def _vunary(self, pos, active):
+        """Per-lane unary read at ``pos`` (count of zeros before the next
+        one bit); returns (values, new_pos)."""
+        w = self._w64()
+        pos = np.asarray(pos, dtype=np.int64).copy()
+        out = np.zeros(len(pos), dtype=np.int64)
+        pend = active.copy()
+        while pend.any():
+            wi = pos[pend] >> 6
+            sh = (pos[pend] & 63).astype(np.uint64)
+            window = w[wi] >> sh
+            nz = window != 0
+            # count trailing zeros of the 64-bit window (de Bruijn-free)
+            x = window
+            tz = np.zeros(len(x), dtype=np.int64)
+            cur = x.copy()
+            for b in (32, 16, 8, 4, 2, 1):
+                m = (cur & ((np.uint64(1) << np.uint64(b)) - np.uint64(1))) == 0
+                hit = m & (cur != 0)
+                tz[hit] += b
+                cur[hit] >>= np.uint64(b)
+            idx = np.flatnonzero(pend)
+            got = idx[nz]
+            out[got] += tz[nz]
+            pos[got] += tz[nz] + 1
+            skip = idx[~nz]
+            avail = 64 - (pos[skip] & 63)
+            out[skip] += avail
+            pos[skip] += avail
+            np.logical_and(pend, False, out=pend)
+            pend[skip] = True
+        return out, pos
+
+    def decode_to_csr(self):
+        """Vectorized full decode: every node's successors via lockstep
+        unary reads over the upper bits + one lower-bits extract per value.
+        Returns ``(offsets int64[n+1], successors int32[m])``."""
+        n = self._n
+        u = self.upper_bound
+        # per-node structure
+        d = np.zeros(n, dtype=np.int64)
+        upper_base = np.zeros(n, dtype=np.int64)
+        lower_base = np.zeros(n, dtype=np.int64)
+        lbits = np.zeros(n, dtype=np.int64)
+        for x in range(n):  # gamma outdegree is cheap; structure scan
+            dd, l, ptr_size, n_ptrs, ptr_base, lo_b, up_b = self._reader(x)
+            d[x] = dd
+            lbits[x] = l
+            lower_base[x] = lo_b
+            upper_base[x] = up_b
+        offsets = np.concatenate([[0], np.cumsum(d)])
+        m = int(offsets[-1])
+        succ = np.zeros(m, dtype=np.int64)
+        # lockstep over successor index i, nodes sorted by outdegree desc
+        order = np.argsort(-d, kind="stable")
+        counts = d[order]
+        pos = upper_base[order].copy()
+        last = np.full(len(order), -1, dtype=np.int64)
+        max_d = int(counts[0]) if n else 0
+        for i in range(max_d):
+            k = int(np.searchsorted(-counts, -i, side="left"))
+            if k == 0:
+                break
+            act = np.ones(k, dtype=bool)
+            gaps, pos[:k] = self._vunary(pos[:k], act)
+            last[:k] += gaps + 1
+            hi = last[:k] - i
+            nodes = order[:k]
+            val = hi << lbits[nodes]
+            lw = lbits[nodes] > 0
+            val[lw] |= self._vextract(
+                lower_base[nodes[lw]] + i * lbits[nodes[lw]], lbits[nodes[lw]])
+            succ[offsets[nodes] + i] = val
+        return offsets, succ.astype(np.int32)
+
+    def skip_to_batch(self, xs, bounds) -> np.ndarray:
+        """Vectorized ``skip_to``: least successor of xs[i] >= bounds[i],
+        or END_OF_LIST — the batched adjacency primitive
+        (EliasFanoSuccessorReader.skipTo, EFGraph.java:1147)."""
+        END = 2**31 - 1
+        xs = np.asarray(xs, dtype=np.int64)
+        bounds = np.asarray(bounds, dtype=np.int64)
+        Q = len(xs)
+        out = np.full(Q, END, dtype=np.int64)
+        d = np.zeros(Q, dtype=np.int64)
+        l = np.zeros(Q, dtype=np.int64)
+        ptr_size = np.zeros(Q, dtype=np.int64)
+        n_ptrs = np.zeros(Q, dtype=np.int64)
+        ptr_base = np.zeros(Q, dtype=np.int64)
+        lower_base = np.zeros(Q, dtype=np.int64)
+        upper_base = np.zeros(Q, dtype=np.int64)
+        for j, x in enumerate(xs):  # structure scan (gamma + arithmetic)
+            (d[j], l[j], ptr_size[j], n_ptrs[j], ptr_base[j], lower_base[j],
+             upper_base[j]) = self._reader(int(x))
+        active = (d > 0) & (bounds < self.upper_bound)
+        zeros_to_skip = np.where(active, bounds >> l.clip(0, 62), 0)
+        k = np.minimum(zeros_to_skip >> self.log2_quantum, n_ptrs)
+        use_ptr = active & (ptr_size > 0) & (k > 0)
+        position = np.zeros(Q, dtype=np.int64)
+        position[use_ptr] = self._vextract(
+            ptr_base[use_ptr] + (k[use_ptr] - 1) * ptr_size[use_ptr],
+            ptr_size[use_ptr])
+        zeros_seen = np.where(use_ptr, k << self.log2_quantum, 0)
+        ones_seen = np.where(use_ptr, position - zeros_seen, 0)
+        pos = upper_base + position
+        i = ones_seen.copy()
+        pend = active.copy()
+        while pend.any():
+            idx = np.flatnonzero(pend)
+            gaps, newpos = self._vunary(pos[idx], np.ones(len(idx), dtype=bool))
+            pos[idx] = newpos
+            zeros_seen[idx] += gaps
+            v = zeros_seen[idx].copy()
+            lw = l[idx] > 0
+            vi = v << l[idx]
+            vi[lw] |= self._vextract(
+                lower_base[idx[lw]] + i[idx[lw]] * l[idx[lw]], l[idx[lw]])
+            found = vi >= bounds[idx]
+            out[idx[found]] = vi[found]
+            pend[idx[found]] = False
+            i[idx] += 1
+            exhausted = i[idx] >= d[idx]
+            pend[idx[exhausted & ~found]] = False
+        return np.where(out >= self.upper_bound, END, out)
+
     def node_iterator(self, start: int = 0) -> NodeIterator:
         g = self
 
