@@ -309,3 +309,23 @@ def test_hyperball_checkpoint_resume(tmp_path, er):
     np.testing.assert_array_equal(a.counters.registers, b.counters.registers)
     assert a.neighbourhood_function == b.neighbourhood_function
     np.testing.assert_allclose(a.sum_of_distances, b.sum_of_distances)
+
+
+def test_hyperball_external_mode_matches_inmemory(tmp_path):
+    """External mode (disk-backed double-buffered registers, chunked
+    candidate streaming; reference HyperBall.java:996-1012) must produce
+    byte-identical registers and the same NF as the in-memory step."""
+    from webgraph_tpu.algo.hyperball import HyperBall
+    from webgraph_tpu.graph.builders import MutableGraph
+
+    g = MutableGraph.erdos_renyi(250, 0.03, seed=12)
+    mem = HyperBall(g, log2m=5, seed=4)
+    ext = HyperBall(g, log2m=5, seed=4, external_dir=str(tmp_path / "hb"),
+                    chunk_nodes=64)
+    for _ in range(6):
+        mem.iterate()
+        ext.iterate()
+        np.testing.assert_array_equal(
+            np.asarray(ext.counters.registers), mem.counters.registers)
+        assert ext.modified_counters() == mem.modified_counters()
+    assert np.allclose(ext.neighbourhood_function, mem.neighbourhood_function)

@@ -45,10 +45,20 @@ class HyperBall:
         do_sum_of_inverse_distances: bool = False,
         discount_functions: list | None = None,
         systolic_threshold: float = 0.25,
+        external_dir=None,
+        chunk_nodes: int = 1 << 16,
     ):
+        """``external_dir`` enables EXTERNAL mode (reference external update
+        lists, HyperBall.java:192-195, 996-1012): the double-buffered
+        register arrays live in memory-mapped files under that directory and
+        each iteration streams candidate nodes in ``chunk_nodes`` chunks, so
+        resident memory is bounded by one chunk's gather instead of 2·n·m
+        registers."""
         self.graph = CSRGraph.from_graph(graph)
         self.transpose = CSRGraph.from_graph(transpose) if transpose is not None else None
         self.n = graph.num_nodes()
+        self.external_dir = external_dir
+        self.chunk_nodes = int(chunk_nodes)
         self.log2m = log2m
         self.seed = seed
         self.weights = weights
@@ -57,6 +67,8 @@ class HyperBall:
         self.discount_functions = discount_functions or []
         self.systolic_threshold = systolic_threshold
         self.counters = HyperLogLogCounterArray(self.n, log2m, seed)
+        if external_dir is not None:
+            self._externalize()
         self.iteration = 0
         self.modified = np.ones(self.n, dtype=bool)
         self.neighbourhood_function: list[float] = []
@@ -106,8 +118,27 @@ class HyperBall:
         preds = tsucc[toff[mod_nodes][seg] + within].astype(np.int64)
         return np.unique(preds)
 
+    def _externalize(self) -> None:
+        """Move the double-buffered register arrays to memory-mapped files
+        (reference external mode: registers stream through disk so resident
+        memory is bounded, HyperBall.java:996-1012, 1206-1238)."""
+        import os
+
+        os.makedirs(self.external_dir, exist_ok=True)
+        shape = self.counters.registers.shape
+        self._ext_files = [os.path.join(self.external_dir, f"regs{i}.bin")
+                           for i in (0, 1)]
+        mm = np.memmap(self._ext_files[0], dtype=np.uint8, mode="w+", shape=shape)
+        mm[:] = self.counters.registers
+        mm.flush()
+        self.counters.registers = mm
+        self._ext_which = 0
+
     def iterate(self) -> None:
         """One ball-growing step (reference: iterate, HyperBall.java:1102)."""
+        if self.external_dir is not None:
+            self._iterate_external()
+            return
         offsets, succ = self.graph.to_csr()
         regs = self.counters.registers
         cand = self._candidates()
@@ -133,6 +164,61 @@ class HyperBall:
         changed_rows = np.any(new_regs != regs, axis=1)
         self.counters.registers = new_regs
         self.modified = changed_rows
+        self.iteration += 1
+        t = self.iteration
+        new_counts = self.counters.counts()
+        inc = new_counts - self._current
+        if self.sum_of_distances is not None:
+            self.sum_of_distances += t * inc
+        if self.sum_of_inverse_distances is not None:
+            self.sum_of_inverse_distances += inc / t
+        for fn, acc in zip(self.discount_functions, self.discounted_centralities):
+            acc += fn(t) * inc
+        self._current = new_counts
+        w = self.weights if self.weights is not None else np.ones(self.n)
+        self.neighbourhood_function.append(float((new_counts * w).sum()))
+
+    def _iterate_external(self) -> None:
+        """External-mode iteration: candidates stream in node chunks, the
+        result registers land in the other memory-mapped buffer, and the
+        buffers swap — byte-identical registers to the in-memory step."""
+        import shutil
+
+        offsets, succ = self.graph.to_csr()
+        regs = self.counters.registers
+        cand = self._candidates()
+        if cand is None:
+            cand = np.arange(self.n, dtype=np.int64)
+        other = self._ext_files[1 - self._ext_which]
+        regs.flush()
+        shutil.copyfile(self._ext_files[self._ext_which], other)
+        new_regs = np.memmap(other, dtype=np.uint8, mode="r+", shape=regs.shape)
+        changed = np.zeros(self.n, dtype=bool)
+        for c0 in range(0, len(cand), self.chunk_nodes):
+            nodes = cand[c0 : c0 + self.chunk_nodes]
+            counts = (offsets[nodes + 1] - offsets[nodes]).astype(np.int64)
+            nz = counts > 0
+            nodes = nodes[nz]
+            cnt = counts[nz]
+            if not len(nodes):
+                continue
+            starts = offsets[nodes]
+            total = int(cnt.sum())
+            seg = np.repeat(np.arange(len(nodes)), cnt)
+            base = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            within = np.arange(total) - base[seg]
+            arcs = succ[starts[seg] + within].astype(np.int64)
+            gathered = regs[arcs]
+            red = np.maximum.reduceat(gathered, base, axis=0)
+            old = np.asarray(regs[nodes])
+            upd = np.maximum(old, red)
+            ch = np.any(upd != old, axis=1)
+            new_regs[nodes[ch]] = upd[ch]
+            changed[nodes[ch]] = True
+        new_regs.flush()
+        self.counters.registers = new_regs
+        self._ext_which = 1 - self._ext_which
+        self.modified = changed
         self.iteration += 1
         t = self.iteration
         new_counts = self.counters.counts()

@@ -257,7 +257,7 @@ class KernelCfg:
 # the cursor.
 # ----------------------------------------------------------------------
 
-QDEPTH = 16
+QDEPTH = 32
 BF16 = jnp.bfloat16
 
 
@@ -534,7 +534,12 @@ def build_kernel(cfg: KernelCfg):
                 pending_i, win, out, ln = st
                 tick(23)
                 pending = pending_i > 0
+                # two refills per trip: a fresh window needs >= NEED bits
+                # before its first decode, and one 32-bit append per trip
+                # would spend an extra trip just filling it
                 win, st1 = win_refill(win, wtab_ref[:], gw_vec(), pending)
+                win, st2 = win_refill(win, wtab_ref[:], gw_vec(), pending)
+                st1 = st1 | st2
                 slide(st1, win[4])
                 w0, w1, w2, avail, nw = win
                 ready = pending & (avail >= NEED)
