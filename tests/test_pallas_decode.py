@@ -79,3 +79,45 @@ def test_pallas_decode_empty_and_single(tmp_path):
     lists = [[], [0], [], [1, 2], []]
     g = CSRGraph.from_lists(lists)
     _roundtrip(g, tmp_path)
+
+
+def test_need_bits_scales_with_n_and_threads_into_p2(tmp_path):
+    """ADVICE r2 (medium): _p2_extras hardcoded NEED=48 window bits; codes
+    can span up to 2*bitlen(2n)+1 > 48 once n >= ~2^23.  need_bits must
+    come from the config — checked structurally for large n, and the
+    kernel must still decode exactly when forced to the maximum need."""
+    from dataclasses import replace
+
+    from webgraph_tpu.pallas import decode as D
+    from webgraph_tpu.pallas.plan import plan_blocks, scan_structure
+
+    # structural: a plan for a large-n graph must demand > 48 bits
+    class FakePlan:
+        n = 1 << 24
+        max_d = 4
+        halo_arcs = 128
+        pool_arcs = 16384
+        extra_arcs = 128
+        runs_pairs = 8
+        max_bc = 2
+        max_ic = 2
+        max_depth = 1
+        num_blocks = 0
+        window_words = 4096
+        m = 0
+        csr_start = np.zeros(0, dtype=np.int64)
+
+    g = MutableGraph.erdos_renyi(50, 0.1, seed=0)
+    basename = os.path.join(tmp_path, "g")
+    BVGraph.store(g, basename)
+    bv = BVGraph.load(basename)
+    cfg_big = D.make_cfg(bv, FakePlan())
+    assert cfg_big.need_bits > 48
+
+    # behavioural: decoding with the maximal need threads through P2
+    cfg, plan, meta, offs, words = D.prepare(bv)
+    fn = D._compiled(replace(cfg, need_bits=64), True)
+    offs_out, succ = fn(meta, offs, words)
+    toff, tsucc = g.to_csr()
+    got = np.asarray(succ).reshape(-1)[: plan.m]
+    np.testing.assert_array_equal(got.astype(np.int32), tsucc)
