@@ -127,6 +127,12 @@ def tab_from_scalars(vals, n: int):
 # ----------------------------------------------------------------------
 
 
+WTAB_COLS = 256  # per-group sliding word table: two 128-lane halves
+# (one group's 128 records span ~140 words on real graphs, so a 128-word
+# table thrashes between slides; the gather only lowers within one vreg,
+# hence two half-gathers + select)
+
+
 def win_refill(win, wtab, gw_vec, active):
     """Append one 32-bit word where avail <= 64 and the needed word is in
     the group's word table.  Returns (win, stalled): stalled lanes need a
@@ -139,10 +145,12 @@ def win_refill(win, wtab, gw_vec, active):
     w0, w1, w2, avail, nw = win
     rel = nw - gw_vec
     want = active & (avail <= 64)
-    inwin = (rel >= 0) & (rel < 128)
+    inwin = (rel >= 0) & (rel < WTAB_COLS)
     do = want & inwin
     idx = jnp.where(do, rel, 0)
-    w = jnp.take_along_axis(wtab, idx, axis=1).astype(U32)
+    wlo = jnp.take_along_axis(wtab[:, :128], idx & 127, axis=1)
+    whi = jnp.take_along_axis(wtab[:, 128:], idx & 127, axis=1)
+    w = jnp.where(idx < 128, wlo, whi).astype(U32)
     # negative avail = alignment debt from win_reset: pre-shift the first
     # word so bit `pos` lands at the window front
     debt = jnp.maximum(-avail, 0).astype(U32) & U32(31)
@@ -493,7 +501,8 @@ def build_kernel(cfg: KernelCfg):
         # word tables start at word 0 of the window
         gwst_ref[:] = jnp.zeros((8, 1), I32)
         for g in range(8):
-            wtab_ref[pl.ds(g, 1), :] = win_ref[pl.ds(0, 1), :]
+            wtab_ref[pl.ds(g, 1), :] = jnp.concatenate(
+                [win_ref[pl.ds(0, 1), :], win_ref[pl.ds(1, 1), :]], axis=1)
 
         li = lane_iota()
         valid = li < cnt
@@ -509,17 +518,18 @@ def build_kernel(cfg: KernelCfg):
                 need = jnp.where(stalled, nw, NEG)
                 m = jnp.min(need, axis=1, keepdims=True)  # (8,1)
                 cur = gwst_ref[:]
-                limit = (WROWS - 2) * 128
+                limit = (WROWS - 3) * 128
                 newgw = jnp.where(m < NEG, jnp.clip(m, 0, limit), cur)
                 gwst_ref[:] = newgw
                 for g in range(8):
                     gws = newgw[g, 0]
                     r0 = gws >> 7
-                    two = jnp.concatenate(
+                    three = jnp.concatenate(
                         [win_ref[pl.ds(r0, 1), :],
-                         win_ref[pl.ds(r0 + 1, 1), :]], axis=1)
-                    rolled = pltpu.roll(two, (256 - (gws & 127)) & 255, 1)
-                    wtab_ref[pl.ds(g, 1), :] = rolled[:, :128]
+                         win_ref[pl.ds(r0 + 1, 1), :],
+                         win_ref[pl.ds(r0 + 2, 1), :]], axis=1)
+                    rolled = pltpu.roll(three, 384 - (gws & 127), 1)
+                    wtab_ref[pl.ds(g, 1), :] = rolled[:, :WTAB_COLS]
 
         def read_code_sync(reader, win, participate):
             """Decode one code per participating lane, synchronously
@@ -972,9 +982,8 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
             jnp.clip(epos, S_EXTRA, None), part,
             row0=HROWS + FROWS, rows=EROWS))
 
-    def fetch_rq(runs_left):
-        rpos = jnp.clip(S_RUNS0 + runs_base + (runs_cnt - runs_left),
-                        S_RUNS0, None)
+    def fetch_rq(pulled):
+        rpos = jnp.clip(S_RUNS0 + runs_base + pulled, S_RUNS0, None)
         rqs = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF, rpos, part,
                                row0=HROWS + FROWS + EROWS, rows=RROWS)
         rql = pool_fetch_queue(pool32_ref, POOL_ROWS, NPF,
@@ -985,25 +994,38 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
 
     QTOP = QDEPTH - 1
 
-    def load_runs(active, crem, kstart, krem, runs_left, tail_used, rqn,
-                  rqs, rql, rstall):
-        """One keep-run load per call (pair queue or the implicit tail)."""
-        rq_ok = rqn < QDEPTH
-        need = active & (krem == 0) & (crem > 0)
-        use_pair = need & (runs_left > 0) & rq_ok
+    def refill_cache(have2, nks, nkl, runs_left, rqn, rqs, rql, rstall):
+        """Pull the next keep-run pair from the queues into the one-slot
+        cache (the only sel_row cost of run handling; loads read the
+        cache)."""
+        can = (have2 == 0) & (runs_left > 0)
+        ok = can & (rqn < QDEPTH)
+        rstall = rstall | (can & ~(rqn < QDEPTH))
         ridx = jnp.clip(rqn, 0, QTOP)
-        kstart = jnp.where(use_pair, sel_row(rqs, ridx), kstart)
-        krem = jnp.where(use_pair,
-                         jnp.minimum(sel_row(rql, ridx), crem), krem)
-        rqn = jnp.where(use_pair, rqn + 1, rqn)
+        nks = jnp.where(ok, sel_row(rqs, ridx), nks)
+        nkl = jnp.where(ok, sel_row(rql, ridx), nkl)
+        rqn = jnp.where(ok, rqn + 1, rqn)
+        have2 = jnp.where(ok, 1, have2)
+        return have2, nks, nkl, rqn, rstall
+
+    def load_runs(active, crem, kstart, krem, runs_left, tail_used,
+                  have2, nks, nkl, rstall):
+        """One keep-run load per call (from the cache or the implicit
+        tail); cheap — no queue selection."""
+        need = active & (krem == 0) & (crem > 0)
+        use_pair = need & (have2 > 0)
+        kstart = jnp.where(use_pair, nks, kstart)
+        krem = jnp.where(use_pair, jnp.minimum(nkl, crem), krem)
+        have2 = jnp.where(use_pair, 0, have2)
         runs_left = jnp.where(use_pair, runs_left - 1, runs_left)
         use_tail = (need & (runs_left == 0) & ~use_pair & ~tail_used
                     & (tail_len > 0))
         kstart = jnp.where(use_tail, tail_start, kstart)
         krem = jnp.where(use_tail, jnp.minimum(tail_len, crem), krem)
         tail_used = tail_used | use_tail
-        rstall = rstall | (need & (runs_left > 0) & ~rq_ok)
-        return kstart, krem, runs_left, tail_used, rqn, rstall
+        # cache-empty loads just stall the lane until the next refill —
+        # only refill_cache (queue exhaustion) may trigger a fetch
+        return kstart, krem, runs_left, tail_used, have2, rstall
 
     def cond(st):
         emitted = st[0]
@@ -1013,6 +1035,7 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
         (emitted, fill, gs,
          crem, kstart, krem, cp, cqn,
          runs_left, tail_used_i, rqn,
+         have2, nks, nkl,
          eleft, epos, eqn,
          cq, eq, rqs, rql) = st
         tail_used = tail_used_i > 0
@@ -1023,11 +1046,15 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
         estall = false_v
         rstall = false_v
 
-        # ---- phase A: run loads + bulk discards ------------------------
+        # ---- phase A: cache refills + run loads + bulk discards --------
         for _ in range(2):
-            (kstart, krem, runs_left, tail_used, rqn,
+            (have2, nks, nkl, rqn, rstall) = refill_cache(
+                have2, nks, nkl, runs_left, rqn, rqs, rql, rstall)
+            (kstart, krem, runs_left, tail_used, have2,
              rstall) = load_runs(active, crem, kstart, krem, runs_left,
-                                 tail_used, rqn, rqs, rql, rstall)
+                                 tail_used, have2, nks, nkl, rstall)
+        (have2, nks, nkl, rqn, rstall) = refill_cache(
+            have2, nks, nkl, runs_left, rqn, rqs, rql, rstall)
         can_disc = active & (krem > 0)
         disc = jnp.where(
             can_disc,
@@ -1041,12 +1068,15 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
         for u in range(U):
             if u > 0:
                 # mid-trip run switch: one load + one discard per sub-step
-                (kstart, krem, runs_left, tail_used, rqn,
+                (kstart, krem, runs_left, tail_used, have2,
                  rstall) = load_runs(active, crem, kstart, krem, runs_left,
-                                     tail_used, rqn, rqs, rql, rstall)
+                                     tail_used, have2, nks, nkl, rstall)
                 d1 = active & (krem > 0) & (cp < kstart) & (cqn < QDEPTH)
                 cp = jnp.where(d1, cp + 1, cp)
                 cqn = jnp.where(d1, cqn + 1, cqn)
+            if u == U // 2:
+                (have2, nks, nkl, rqn, rstall) = refill_cache(
+                    have2, nks, nkl, runs_left, rqn, rqs, rql, rstall)
             cq_ok = cqn < QDEPTH
             pos_ready = (krem > 0) & (cp >= kstart)
             ch = jnp.where(pos_ready & cq_ok,
@@ -1098,14 +1128,16 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
             _any(estall) > 0,
             lambda a: (fetch_eq(a[2]), jnp.zeros_like(a[1])),
             lambda a: (a[0], a[1]), (eq, eqn, epos))
+        pulled = jnp.where(part, runs_cnt, 0) - runs_left + have2
         rqs, rql, rqn = jax.lax.cond(
             _any(rstall) > 0,
             lambda a: (*fetch_rq(a[3]), jnp.zeros_like(a[2])),
-            lambda a: (a[0], a[1], a[2]), (rqs, rql, rqn, runs_left))
+            lambda a: (a[0], a[1], a[2]), (rqs, rql, rqn, pulled))
 
         return (emitted, fill2, gs,
                 crem, kstart, krem, cp, cqn,
                 runs_left, tail_used.astype(I32), rqn,
+                have2, nks, nkl,
                 eleft, epos, eqn,
                 cq, eq, rqs, rql)
 
@@ -1118,6 +1150,7 @@ def _p3_round(cfg, rt, rnd, has_ref, d, copied, extra,
     st0 = (z, jnp.int32(0), jnp.int32(0),
            jnp.where(part, copied, 0), z, z, z, full_ctr,
            jnp.where(part, runs_cnt, 0), z, full_ctr,
+           z, z, z,
            jnp.where(part, extra, 0), epos0, full_ctr,
            dq, dq, dq, dq)
     st = jax.lax.while_loop(cond, body, st0)
@@ -1287,7 +1320,7 @@ def _compiled(cfg: KernelCfg, interpret: bool):
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((cfg.wrows, 128), I32),                  # win
-            pltpu.VMEM((GROUPS, 128), I32),                     # wtab
+            pltpu.VMEM((GROUPS, WTAB_COLS), I32),               # wtab
             pltpu.VMEM((GROUPS, 1), I32),                       # gwst
             pltpu.VMEM((cfg.pool_rows, 128), I32),              # pool
             pltpu.VMEM((cfg.npf * cfg.pool_rows, 128), BF16),   # pool32

@@ -198,9 +198,9 @@ def plan_blocks(
     w = g.settings.window_size
 
     # window start is aligned DOWN to a 128-word row; budget leaves a
-    # 256-word margin (the kernel slides its word tables only up to
-    # (WROWS-2)*128 and peeks 2 extra words past any code)
-    span_budget = (window_words - 256) * 32
+    # 384-word margin (the kernel slides its 256-word tables only up to
+    # (WROWS-3)*128 and peeks 2 extra words past any code)
+    span_budget = (window_words - 384) * 32
     span_bits = np.diff(bo)
     max_record = int(span_bits.max()) if n else 0
     assert max_record + 4096 <= span_budget, (
