@@ -169,17 +169,22 @@ def test_parallel_native_sharded_store_matches_serial(tmp_path):
         import pytest
 
         pytest.skip("native codec unavailable")
-    g = MutableGraph.erdos_renyi(2500, 0.012, seed=6)
-    ser = str(tmp_path / "ser")
-    par = str(tmp_path / "par")
-    BVGraph.store(g, ser, num_shards=4, use_native=False)
-    BVGraph.store(g, par, num_shards=4, use_native=True)
-    for ext in (".graph", ".offsets"):
-        with open(ser + ext, "rb") as f:
-            a = f.read()
-        with open(par + ext, "rb") as f:
-            b = f.read()
-        assert a == b, ext
+    # (2500, 4) divides evenly; (1000, 3) does not — round(i*n/S) bounds
+    # (667) differ from floor/linspace bounds (666), so the second case
+    # guards the split_node_iterators bound parity (immutable_graph.py:209)
+    for case, (nn, shards, seed) in enumerate(
+            [(2500, 4, 6), (1000, 3, 7)]):
+        g = MutableGraph.erdos_renyi(nn, 0.012, seed=seed)
+        ser = str(tmp_path / f"ser{case}")
+        par = str(tmp_path / f"par{case}")
+        BVGraph.store(g, ser, num_shards=shards, use_native=False)
+        BVGraph.store(g, par, num_shards=shards, use_native=True)
+        for ext in (".graph", ".offsets"):
+            with open(ser + ext, "rb") as f:
+                a = f.read()
+            with open(par + ext, "rb") as f:
+                b = f.read()
+            assert a == b, (case, ext)
     off, succ = bvgraph_np.decode_to_csr(BVGraph.load(par))
     toff, tsucc = g.to_csr()
     np.testing.assert_array_equal(off, toff)

@@ -1,0 +1,87 @@
+"""Streaming lane-range (v6) Pallas decoder vs the scalar oracle.
+
+Runs the Mosaic kernel in interpret mode on CPU.  The scalar codec
+(bits/bitstream.py) produced the stored fixtures; ``MutableGraph.to_csr``
+is the ground truth.  Reference semantics: BVGraph.java:139-196 (record
+layout), :1136-1281 (sequential window decode).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from webgraph_tpu.formats.bvgraph import BVGraph
+from webgraph_tpu.graph.builders import MutableGraph
+
+jax = pytest.importorskip("jax")
+
+from webgraph_tpu.pallas import decode2 as D2  # noqa: E402
+
+
+def _roundtrip(g, tmp_path, **store_kw):
+    basename = os.path.join(tmp_path, "g")
+    BVGraph.store(g, basename, **store_kw)
+    bv = BVGraph.load(basename)
+    offsets, succ = D2.decode_to_csr(bv, interpret=True)
+    toff, tsucc = g.to_csr()
+    np.testing.assert_array_equal(offsets, toff)
+    np.testing.assert_array_equal(succ, tsucc)
+
+
+def test_streaming_decode_default(tmp_path):
+    g = MutableGraph.erdos_renyi(300, 0.03, seed=0)
+    _roundtrip(g, tmp_path,
+               window_size=7, max_ref_count=3, min_interval_length=4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "window,maxref,minint,seed,n,p",
+    [
+        (7, 3, 3, 1, 200, 0.08),
+        (0, 0, 4, 2, 150, 0.05),   # no references at all
+        (1, 1, 0, 3, 150, 0.05),   # no intervals (minint 0)
+        (2, 2, 2, 4, 250, 0.04),
+        (7, 7, 2, 5, 400, 0.02),   # deep chains within window
+    ],
+)
+def test_streaming_decode_matches_oracle(window, maxref, minint, seed, n, p,
+                                         tmp_path):
+    g = MutableGraph.erdos_renyi(n, p, seed=seed)
+    _roundtrip(g, tmp_path, window_size=window, max_ref_count=maxref,
+               min_interval_length=minint)
+
+
+@pytest.mark.slow
+def test_streaming_decode_structures(tmp_path):
+    """Interval- and copy-rich lists (runs, long references, empty nodes)."""
+    lists = []
+    for x in range(120):
+        if x % 17 == 0:
+            lists.append([])
+        elif x % 3 == 0:
+            lists.append(list(range(x, x + 40)))           # pure interval
+        elif x % 3 == 1:
+            lists.append(list(range(x, x + 40)) + [200 + x, 400 + x])
+        else:
+            lists.append([1, 5, 9, 200 + 2 * x])           # residual-ish
+    from webgraph_tpu.graph.csr import CSRGraph
+
+    g = CSRGraph.from_lists(lists)
+    _roundtrip(g, tmp_path,
+               window_size=7, max_ref_count=3, min_interval_length=4)
+
+
+@pytest.mark.slow
+def test_streaming_decode_delta_codes(tmp_path):
+    from webgraph_tpu.bits import codes as C
+    from webgraph_tpu.formats.bvgraph import BVGraphSettings
+
+    g = MutableGraph.erdos_renyi(200, 0.05, seed=9)
+    s = BVGraphSettings(window_size=4, max_ref_count=2,
+                        min_interval_length=2)
+    s.codings["OUTDEGREES"] = C.DELTA
+    s.codings["BLOCKS"] = C.DELTA
+    s.codings["RESIDUALS"] = C.GAMMA
+    _roundtrip(g, tmp_path, settings=s)

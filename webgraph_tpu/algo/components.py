@@ -120,7 +120,7 @@ def _scc_coloring(offsets: np.ndarray, succ: np.ndarray, n: int) -> np.ndarray:
     in-color reachability (Orzan's coloring / FW-BW family).  Every step is a
     full-arc-array scatter pass — no recursion, no per-node Python loop —
     which is the shape that vectorizes on TPU.  Exact: tested against the
-    Tarjan oracle (tests/test_components.py).
+    Tarjan oracle (tests/test_algo.py).
 
     Reference behavior anchor: StronglyConnectedComponents.java:88-193
     (component ids differ by renumbering; sort_by_size canonicalizes).

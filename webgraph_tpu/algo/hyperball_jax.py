@@ -85,7 +85,11 @@ class HyperBallJax:
         self.systolic = transpose is not None
         self.systolic_threshold = systolic_threshold
         self.discount_functions = list(discount_functions or [])
-        self.weights = (jnp.asarray(np.asarray(weights, dtype=np.float64))
+        # device accumulators run in float32 (JAX default); the host
+        # HyperBall accumulates in float64, so weighted NF/centrality parity
+        # with the host path holds to f32 precision only (registers are
+        # still bit-identical — see tests/test_hyperball_jax.py)
+        self.weights = (jnp.asarray(np.asarray(weights, dtype=np.float32))
                         if weights is not None else jnp.ones(self.n))
         self.do_sum_of_distances = do_sum_of_distances
         self.do_sum_of_inverse_distances = do_sum_of_inverse_distances

@@ -563,7 +563,12 @@ class BVGraph(ImmutableGraph):
         else:
             from concurrent.futures import ThreadPoolExecutor
 
-            bounds = np.linspace(0, n, num_shards + 1).astype(np.int64)
+            # identical bounds to split_node_iterators (immutable_graph.py)
+            # so native and Python sharded encodes are byte-identical for
+            # every (n, num_shards), not just divisible ones
+            bounds = np.array(
+                [round(i * n / num_shards) for i in range(num_shards + 1)],
+                dtype=np.int64)
 
             def enc(k):
                 a, b = int(bounds[k]), int(bounds[k + 1])

@@ -391,7 +391,14 @@ class EFGraph(ImmutableGraph):
         pos = np.asarray(pos, dtype=np.int64).copy()
         out = np.zeros(len(pos), dtype=np.int64)
         pend = active.copy()
+        # a truncated/corrupt stream is all zero padding past the end; bound
+        # the scan at the stream's bit length instead of spinning forever
+        nbits = (len(w) - 1) << 6
         while pend.any():
+            if (pos[pend] >= nbits).any():
+                raise ValueError(
+                    "EFGraph unary read ran past the end of the stream "
+                    "(truncated or corrupt .graph data)")
             wi = pos[pend] >> 6
             sh = (pos[pend] & 63).astype(np.uint64)
             window = w[wi] >> sh

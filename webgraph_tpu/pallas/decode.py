@@ -305,8 +305,8 @@ def pool_fetch_queue(pool32_ref, rtot: int, npf: int, ppos, active,
     ga = jnp.take_along_axis(xa, jnp.clip(src, 0, 127), axis=1)
     gb = jnp.take_along_axis(xb, src & 127, axis=1)
     aligned = jnp.where(src < 128, ga, gb)
-    qT = aligned[:, :QDEPTH]  # (1024,16)
-    return qT.T  # (16,1024)
+    qT = aligned[:, :QDEPTH]  # (1024, QDEPTH)
+    return qT.T  # (QDEPTH, 1024)
 
 
 def queue_rows(q):
@@ -1300,7 +1300,7 @@ def _compiled(cfg: KernelCfg, interpret: bool):
     nb = cfg.num_blocks
     out_specs = [
         pl.BlockSpec((1, GROUPS, GLANES), lambda t: (t, 0, 0)),  # offs_out
-        pl.BlockSpec(memory_space=pltpu.ANY),               # succ
+        pl.BlockSpec(memory_space=pl.ANY),               # succ
     ]
     out_shape = [
         jax.ShapeDtypeStruct((nb, GROUPS, GLANES), I32),
@@ -1315,7 +1315,7 @@ def _compiled(cfg: KernelCfg, interpret: bool):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # meta
             pl.BlockSpec((1, GROUPS, GLANES), lambda t: (t, 0, 0)),  # offs
-            pl.BlockSpec(memory_space=pltpu.ANY),               # words
+            pl.BlockSpec(memory_space=pl.ANY),               # words
         ],
         out_specs=out_specs,
         scratch_shapes=[

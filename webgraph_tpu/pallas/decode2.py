@@ -1,0 +1,950 @@
+"""Streaming lane-range BVGraph decoder — the v6 in-kernel design.
+
+One Pallas/Mosaic kernel, ONE grid step: 1024 lanes each stream-decode a
+contiguous node range of the graph (reference semantics: the per-node
+record layout of BVGraph.java:139-196 and the sequential window decode of
+BVGraph.java:1136-1281).  This replaces the round-3 design (370 sequential
+node blocks, lockstep phases bounded by each block's slowest lane) with:
+
+  * **Arc/bit-balanced lane ranges** — the node partition equalizes per-lane
+    work (codes + emissions, both known exactly from the host pre-scan), so
+    the lockstep trip count is ~(total work / 1024 / U) instead of
+    Σ-blocks max-lane-work (which was ~47x the mean).
+  * **Ancestor-overlap priming** — reference chains reach back at most
+    `max chain reach` nodes (<= window * maxref; 21 on cnr-2000).  Each lane
+    re-decodes exactly the ancestor closure of its range (3.5% redundancy on
+    cnr-2000), so lanes are FULLY independent: no inter-block serialization,
+    no halo protocol.  (Mirrors the window priming of
+    BVGraph.java:1173-1183, but per-lane.)
+  * **Per-lane streaming state machine** — each lane walks its bit range
+    once, sequentially: outdegree / reference / block-count / blocks /
+    interval-count / intervals are parsed into a small per-node side buffer,
+    then the successor list is produced by a 3-way merge of (copies from the
+    parent's already-decoded list, interval expansion, residual gap decode)
+    — the reference's lazy iterator tree (BVGraph.java:1032-1133) flattened
+    into vector registers.  One code decode OR one merged emission per lane
+    per sub-step; U=8 sub-steps per loop trip.
+  * **Register append buffers + VMEM output slab** — emissions collect in
+    8-deep per-lane register buffers, are written through to a 256-slot
+    staging ring each trip, and completed 128-blocks are copied to the
+    (1024, SLABW) VMEM output slab with uniform dynamic slices.  The decoded
+    graph is returned in this padded-by-lane CSR layout plus an exact
+    per-node row pointer (a valid constant-time random-access structure;
+    ~6% padding on cnr-2000).
+  * **Copy resolution is lane-local** — a parent list is always the lane's
+    OWN recent output (ancestors lie in the lane's range or its overlap), so
+    copies are served by a 16-deep register queue fetched from the slab /
+    staging ring with row-local `take_along_axis` gathers — no MXU one-hot
+    traffic at all.
+
+The scalar codec (bits/bitstream.py) remains the correctness oracle; tests
+run this kernel in interpret mode against formats/bvgraph_np.decode_to_csr
+and the cnr-2000 fixture.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from webgraph_tpu.bits import codes as C
+from webgraph_tpu.pallas import pcodes as P
+from webgraph_tpu.pallas.decode import flat, unflat, sel_row, lane_iota
+
+I32 = jnp.int32
+U32 = jnp.uint32
+LANES = 1024
+GROUPS = 8
+GLANES = 128
+INF = 0x7FFFFFFF
+
+# states of the per-lane record machine
+S_OUTD, S_REF, S_BC, S_BLK, S_ICNT, S_INT, S_MRG, S_DONE = range(8)
+
+
+# ----------------------------------------------------------------------
+# planning
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class LanePlan:
+    """Host-side partition of [0, n) into per-lane streaming ranges."""
+
+    gid0: np.ndarray       # (LANES,) first DECODED node (incl. overlap)
+    nstart: np.ndarray     # (LANES,) first REAL node of the lane
+    cnt: np.ndarray        # (LANES,) decoded node count (overlap + real)
+    bit0: np.ndarray       # (LANES,) start bit within the lane's word row
+    word0: np.ndarray      # (LANES,) absolute first 32-bit word
+    d7: np.ndarray         # (7, LANES) outdegrees of the 7 nodes before gid0
+    lw: int                # words per lane row (padded)
+    slabw: int             # output slab width (per-lane arc capacity)
+    sb: int                # side buffer width (max per-node bc + 2*ic, padded)
+    exp_wp: np.ndarray     # (LANES,) expected emission count (validation)
+    prow: np.ndarray       # (n + 1,) int64 padded row pointer into the slab
+    n: int = 0
+    m: int = 0
+    max_steps: int = 0     # max per-lane sub-step count (trip bound)
+
+
+def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
+    """Balance nodes into `lanes` contiguous ranges + ancestor overlap.
+
+    Work model: one sub-step per code + one per emitted arc + constant
+    per-node overhead — all known exactly from the host structure scan
+    (the same pre-scan that backs the round-3 planner; analogous to the
+    reference's `.obl`/`.outdegrees` load-time caches, BVGraph.java:362-364).
+    """
+    n = g.num_nodes()
+    bo = g.bit_offsets.astype(np.int64)
+    d = scan.d.astype(np.int64)
+    ref = scan.ref.astype(np.int64)
+    bc = scan.block_count.astype(np.int64)
+    ic = scan.int_count.astype(np.int64)
+    res = scan.res_count.astype(np.int64)
+    extra = np.where(ref > 0, d - scan.copied.astype(np.int64), d)
+    extra[d == 0] = 0
+    mi = g.settings.min_interval_length
+
+    ncodes = (
+        np.ones(n, dtype=np.int64)
+        + (d > 0)
+        + (ref > 0) * (1 + bc)
+        + ((extra > 0) & (mi != 0)) * (1 + 2 * ic)
+        + res
+    )
+    work = ncodes + d + 2
+    csr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(d, out=csr[1:])
+
+    # ancestor reach (min ancestor id per node) for overlap priming
+    parent = np.where(ref > 0, np.arange(n) - ref, np.arange(n))
+    minanc = np.arange(n)
+    cur = parent.copy()
+    maxdep = int(scan.depth.max()) if n else 0
+    for _ in range(maxdep + 1):
+        minanc = np.minimum(minanc, cur)
+        cur = parent[cur]
+
+    wc = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(work, out=wc[1:])
+
+    def partition(lam: float):
+        cost = work + lam * d
+        cc = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cost, out=cc[1:])
+        targets = cc[-1] * np.arange(1, lanes + 1) / lanes
+        bounds = np.searchsorted(cc, targets).astype(np.int64)
+        bounds[-1] = n
+        bounds = np.maximum.accumulate(bounds)
+        starts = np.concatenate([[0], bounds[:-1]])
+        return starts, bounds
+
+    # blend in extra arc weight until the slab fits slab_cap
+    for lam in (0.0, 1.0, 2.0, 4.0, 8.0, 16.0):
+        starts, bounds = partition(lam)
+        gid0 = np.empty(lanes, dtype=np.int64)
+        for l in range(lanes):
+            a, b = starts[l], bounds[l]
+            gid0[l] = a if b <= a else min(a, int(minanc[a:b].min()))
+        lane_arcs = csr[bounds] - csr[gid0]
+        if int(lane_arcs.max(initial=0)) <= slab_cap:
+            break
+    slabw = int(lane_arcs.max(initial=0))
+    slabw = max(256, -(-slabw // 128) * 128)
+
+    word0 = bo[gid0] >> 5
+    bit0 = (bo[gid0] - (word0 << 5)).astype(np.int64)
+    end_word = (bo[bounds] + 31) >> 5
+    lw = int((end_word - word0).max(initial=1)) + 2
+    lw = max(128, -(-lw // 128) * 128)
+
+    d7 = np.zeros((7, lanes), dtype=np.int64)
+    for j in range(7):
+        idx = gid0 - 1 - j
+        ok = idx >= 0
+        d7[j, ok] = d[idx[ok]]
+
+    # per-lane sub-step bound (stall-free); the kernel adds a safety margin
+    lane_steps = wc[bounds] - wc[gid0] + csr[bounds] - csr[gid0]
+    max_steps = int(lane_steps.max(initial=1))
+
+    prow = np.zeros(n + 1, dtype=np.int64)
+    for l in range(lanes):
+        a, b = int(starts[l]), int(bounds[l])
+        if b > a:
+            prow[a:b] = l * slabw + (csr[a:b] - csr[gid0[l]])
+    prow[n] = int(bounds[-1])  # sentinel; use prow[x] + d[x] for row ends
+
+    sb = int((bc + 2 * ic).max(initial=0))
+    sb = max(128, -(-(sb + 8) // 128) * 128)
+
+    return LanePlan(
+        gid0=gid0.astype(np.int64),
+        nstart=starts.astype(np.int64),
+        cnt=(bounds - gid0).astype(np.int64),
+        bit0=bit0,
+        word0=word0,
+        d7=d7,
+        lw=lw,
+        slabw=slabw,
+        sb=sb,
+        exp_wp=(csr[bounds] - csr[gid0]).astype(np.int64),
+        prow=prow,
+        n=n,
+        m=int(csr[-1]),
+        max_steps=max_steps,
+    )
+
+
+# ----------------------------------------------------------------------
+# kernel configuration
+# ----------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Cfg2:
+    skey: tuple            # (outd, ref, bcnt, blk, res, zeta_k, window, minint)
+    lw: int                # words per lane row
+    slabw: int             # slab width (multiple of 128)
+    sb: int                # side buffer width (multiple of 128)
+    need_bits: int         # window bits required before decoding any code
+    trip_cap: int          # hard trip bound (hang safety)
+    unroll: int = 8
+    debug_counters: bool = False
+
+
+def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False) -> Cfg2:
+    s = g.settings
+    n = plan.n
+    vbits = max(int(max(n, 2)).bit_length() + 1, 2)
+    need = min(64, 2 * vbits + 1)
+    U = 8
+    cap = 4 * (plan.max_steps // U + 1) + 4096
+    return Cfg2(
+        skey=(
+            s.outdegree_coding,
+            s.reference_coding,
+            s.block_count_coding,
+            s.block_coding,
+            s.residual_coding,
+            s.zeta_k,
+            s.window_size,
+            s.min_interval_length,
+        ),
+        lw=plan.lw,
+        slabw=plan.slabw,
+        sb=plan.sb,
+        need_bits=need,
+        trip_cap=cap,
+        unroll=U,
+        debug_counters=debug_counters,
+    )
+
+
+# ----------------------------------------------------------------------
+# small helpers
+# ----------------------------------------------------------------------
+
+
+def _any(x):
+    return jnp.max(x.astype(I32))
+
+
+def _all(x):
+    return jnp.min(x.astype(I32))
+
+
+def own_read(buf_ref, idxT, ncols: int):
+    """Per-lane own-row gather: out[l, k] = buf[l, idxT[l, k]].
+
+    buf_ref: (1024, ncols) i32 VMEM ref; idxT: (1024, K) int32 clipped by the
+    caller to [0, ncols).  Decomposed into 128-column chunk gathers (the only
+    gather form Mosaic lowers) + a chunk select."""
+    out = jnp.zeros(idxT.shape, I32)
+    for c in range(ncols // 128):
+        g = jnp.take_along_axis(
+            buf_ref[:, c * 128 : (c + 1) * 128],
+            jnp.clip(idxT - c * 128, 0, 127), axis=1)
+        out = jnp.where((idxT >> 7) == c, g, out)
+    return out
+
+
+def ring_sel(rows, idx):
+    """rows[idx_l] per lane over a 7-entry ring (idx clipped to [0, 6])."""
+    i = jnp.clip(idx, 0, 6)
+    a = jnp.where((i & 1) > 0, rows[1], rows[0])
+    b = jnp.where((i & 1) > 0, rows[3], rows[2])
+    c = jnp.where((i & 1) > 0, rows[5], rows[4])
+    ab = jnp.where((i & 2) > 0, b, a)
+    cc = jnp.where((i & 2) > 0, rows[6], c)
+    return jnp.where((i & 4) > 0, cc, ab)
+
+
+def win_append(w0, w1, w2, avail, nw, word, on):
+    """Append one 32-bit word to the 96-bit window where `on`.
+
+    Negative avail encodes alignment debt (bit cursor & 31) from a reset:
+    the first appended word is pre-shifted so the cursor lands at the window
+    front (same convention as decode.py's win_refill)."""
+    w = word.astype(U32)
+    debt = jnp.maximum(-avail, 0).astype(U32) & U32(31)
+    w = jnp.where(avail < 0, w << debt, w)
+    a0 = jnp.clip(avail, 0, None)
+    sh = a0.astype(U32) & U32(31)
+    ssh = (U32(32) - sh) & U32(31)
+    hi_part = jnp.where(sh > 0, w >> sh, w)
+    lo_part = jnp.where(sh > 0, w << ssh, U32(0))
+    slot = a0 >> 5
+    w0 = jnp.where(on & (slot == 0), w0 | hi_part, w0)
+    w1 = jnp.where(on & (slot == 0), w1 | lo_part,
+                   jnp.where(on & (slot == 1), w1 | hi_part, w1))
+    w2 = jnp.where(on & (slot == 1), w2 | lo_part,
+                   jnp.where(on & (slot == 2), w2 | hi_part, w2))
+    avail = jnp.where(on, avail + 32, avail)
+    nw = jnp.where(on, nw + 1, nw)
+    return w0, w1, w2, avail, nw
+
+
+def win_drop(w0, w1, w2, avail, length, on):
+    """Drop `length` (<= 64) bits from the window front where `on`."""
+    ln = jnp.where(on, length, 0)
+    nword = ln >> 5
+    a = jnp.where(nword >= 1, w1, w0)
+    b = jnp.where(nword >= 1, w2, w1)
+    c = jnp.where(nword >= 1, U32(0), w2)
+    a = jnp.where(nword >= 2, c, a)
+    b = jnp.where(nword >= 2, U32(0), b)
+    r = (ln & 31).astype(U32) & U32(31)
+    rs = (U32(32) - r) & U32(31)
+    a2 = jnp.where(r > 0, (a << r) | (b >> rs), a)
+    b2 = jnp.where(r > 0, (b << r) | (c >> rs), b)
+    c2 = jnp.where(r > 0, c << r, c)
+    return a2, b2, c2, avail - ln
+
+
+# ----------------------------------------------------------------------
+# kernel builder
+# ----------------------------------------------------------------------
+
+# loop-carry field names, in order (all (8,128) int32 unless noted)
+_FIELDS = (
+    "w0 w1 w2 avail nw st loc gid d rf dp pb bcleft bctot cum copied "
+    "iarcs icnt il lastleft ptop firsti sp sdump em crem cp ri kst ken "
+    "kld iidx ileft icur irem rv rvlast rvok remr rdleft firstr "
+    "wp wb ap flp cqb cqlim cflag rdlim "
+    "dr0 dr1 dr2 dr3 dr4 dr5 dr6 fb0 fb1 fb2 fb3 fb4 fb5 fb6 "
+    "a0 a1 a2 a3 a4 a5 a6 a7 s0 s1 s2 s3 s4 s5 s6 s7 "
+    "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15"
+).split()
+
+
+def build_kernel2(cfg: Cfg2):
+    (outd_c, ref_c, bcnt_c, blk_c, res_c, zeta_k, window, minint) = cfg.skey
+    if window > 7:
+        raise ValueError("decode2 supports window_size <= 7")
+    NEED = cfg.need_bits
+    LW, SLABW, SB = cfg.lw, cfg.slabw, cfg.sb
+    U = cfg.unroll
+    QD = 16
+
+    # one reader per DISTINCT coding used (value, length on the 64-bit head)
+    codings = {}
+    for st_id, coding in ((S_OUTD, outd_c), (S_REF, ref_c), (S_BC, bcnt_c),
+                          (S_BLK, blk_c), (S_ICNT, C.GAMMA), (S_INT, C.GAMMA),
+                          (S_MRG, res_c)):
+        codings.setdefault(coding, []).append(st_id)
+    readers = {cd: P.make_window_reader(cd, zeta_k) for cd in codings}
+
+    def kernel(meta_ref, words_ref, slab_ref, wp_ref, dbg_ref,
+               midt_ref, side_ref, smem_ref):
+        z = jnp.zeros((GROUPS, GLANES), I32)
+        zu = jnp.zeros((GROUPS, GLANES), U32)
+
+        gid0 = meta_ref[0]
+        cntv = meta_ref[1]
+        bit0 = meta_ref[2]
+        d7 = [meta_ref[3 + j] for j in range(7)]
+
+        st0 = {f: z for f in _FIELDS}
+        for f in ("w0", "w1", "w2"):
+            st0[f] = zu
+        st0["st"] = jnp.where(cntv > 0, S_OUTD, S_DONE)
+        st0["gid"] = gid0
+        st0["avail"] = -(bit0 & 31)
+        st0["nw"] = bit0 >> 5
+        st0["cqb"] = jnp.full_like(z, INF)
+        for j in range(7):
+            st0[f"dr{j}"] = d7[j]
+        state0 = tuple(st0[f] for f in _FIELDS)
+
+        def unpack(t):
+            return dict(zip(_FIELDS, t))
+
+        def substep(S):
+            st = S["st"]
+            in_mrg = st == S_MRG
+            alive = st != S_DONE
+
+            # ---- window append (one word per sub-step) ------------------
+            app = alive & (S["avail"] < NEED) & (S["avail"] <= 64)
+            word = own_read(
+                words_ref, flat(jnp.clip(S["nw"], 0, LW - 1)).T, LW)
+            word = unflat(word.reshape(1, LANES))
+            w0, w1, w2, avail, nw = win_append(
+                S["w0"], S["w1"], S["w2"], S["avail"], S["nw"], word, app)
+
+            # ---- decode one code where wanted ---------------------------
+            res_need = in_mrg & (S["rvok"] == 0) & (S["rdleft"] > 0)
+            side_free = (S["sp"] - S["sdump"]) < 8
+            want = (
+                ((st == S_OUTD) | (st == S_REF) | (st == S_BC)
+                 | (st == S_ICNT))
+                | (((st == S_BLK) | (st == S_INT)) & side_free)
+                | res_need)
+            ready = want & (avail >= NEED)
+
+            v = z
+            ln = z
+            for cd, st_ids in codings.items():
+                rv_, rl_ = readers[cd](w0, w1)
+                m = jnp.zeros_like(st, dtype=bool)
+                for sid in st_ids:
+                    m = m | (st == (S_MRG if sid == S_MRG else sid))
+                # S_MRG residual decode only when res_need
+                if S_MRG in st_ids:
+                    m = m & jnp.where(in_mrg, res_need, m)
+                v = jnp.where(m, rv_.astype(I32), v)
+                ln = jnp.where(m, rl_, ln)
+            w0, w1, w2, avail = win_drop(w0, w1, w2, avail, ln, ready)
+
+            # ---- side-buffer read ports (values fully resolved at parse)
+            sregs = [S[f"s{j}"] for j in range(8)]
+
+            def side_at(idx):
+                base = own_read(side_ref,
+                                flat(jnp.clip(idx, 0, SB - 1)).T, SB)
+                base = unflat(base.reshape(1, LANES))
+                ovl = ring_sel([sregs[j] for j in range(7)] + [sregs[7]],
+                               idx & 7)
+                ovl = jnp.where((idx & 7) == 7, sregs[7], ovl)
+                return jnp.where(idx >= S["sdump"], ovl, base)
+
+            # port A: next keep-run pair [kst, ken)
+            ri, kld, bctot, dp = S["ri"], S["kld"], S["bctot"], S["dp"]
+            pa_on = in_mrg & (kld == 0) & (S["crem"] > 0)
+            kst_new = jnp.where(ri == 0, 0, side_at(ri - 1))
+            ken_new = jnp.where(ri < bctot, side_at(ri),
+                                jnp.where((bctot & 1) == 0, dp, 0))
+            kst = jnp.where(pa_on, kst_new, S["kst"])
+            ken = jnp.where(pa_on, ken_new, S["ken"])
+            kld = jnp.where(pa_on, 1, kld)
+
+            # port B: next interval pair (left, len)
+            pb_on = in_mrg & (S["irem"] == 0) & (S["ileft"] > 0)
+            int_left = side_at(S["iidx"])
+            int_len = side_at(S["iidx"] + 1)
+            icur = jnp.where(pb_on, int_left, S["icur"])
+            irem = jnp.where(pb_on, int_len, S["irem"])
+            iidx = jnp.where(pb_on, S["iidx"] + 2, S["iidx"])
+            ileft = jnp.where(pb_on, S["ileft"] - 1, S["ileft"])
+
+            # ---- state transitions --------------------------------------
+            d, rf, pb = S["d"], S["rf"], S["pb"]
+            bcleft, cum, copied = S["bcleft"], S["cum"], S["copied"]
+            iarcs, icnt, il = S["iarcs"], S["icnt"], S["il"]
+            lastleft, ptop, firsti = S["lastleft"], S["ptop"], S["firsti"]
+            sp, sdump = S["sp"], S["sdump"]
+            em, crem, cp = S["em"], S["crem"], S["cp"]
+            rvv, rvlast, rvok = S["rv"], S["rvlast"], S["rvok"]
+            remr, rdleft, firstr = S["remr"], S["rdleft"], S["firstr"]
+            gid = S["gid"]
+            nst = st
+            sval = z
+            son = jnp.zeros_like(st, dtype=bool)
+            minit = jnp.zeros_like(st, dtype=bool)
+
+            # OUTD (node start: clear per-node accumulators that later
+            # paths read before their own states would set them)
+            t_outd = ready & (st == S_OUTD)
+            d = jnp.where(t_outd, v, d)
+            icnt = jnp.where(t_outd, 0, icnt)
+            iarcs = jnp.where(t_outd, 0, iarcs)
+            bctot = jnp.where(t_outd, 0, bctot)
+            adv0 = t_outd & (v == 0)
+            go_extras = jnp.zeros_like(st, dtype=bool)  # d>0, ref resolved
+            if window > 0:
+                nst = jnp.where(t_outd & (v > 0), S_REF, nst)
+            else:
+                go_extras = go_extras | (t_outd & (v > 0))
+
+            # REF
+            if window > 0:
+                t_ref = ready & (st == S_REF)
+                rf = jnp.where(t_ref, v, rf)
+                hasr = t_ref & (v > 0)
+                dregs = [S[f"dr{j}"] for j in range(7)]
+                fregs = [S[f"fb{j}"] for j in range(7)]
+                dp = jnp.where(hasr, ring_sel(dregs, v - 1), dp)
+                pb = jnp.where(hasr, ring_sel(fregs, v - 1), pb)
+                nst = jnp.where(hasr, S_BC, nst)
+                go_extras = go_extras | (t_ref & (v == 0))
+
+            # BC
+            t_bc = ready & (st == S_BC)
+            bctot = jnp.where(t_bc, v, bctot)
+            bcleft = jnp.where(t_bc, v, bcleft)
+            cum = jnp.where(t_bc, 0, cum)
+            copied = jnp.where(t_bc, 0, copied)
+            nst = jnp.where(t_bc & (v > 0), S_BLK, nst)
+            blkdone = t_bc & (v == 0)
+
+            # BLK
+            t_blk = ready & (st == S_BLK)
+            k = bctot - bcleft
+            bval = jnp.where(k > 0, v + 1, v)
+            cum = jnp.where(t_blk, cum + bval, cum)
+            copied = jnp.where(t_blk & ((k & 1) == 0), copied + bval, copied)
+            sval = jnp.where(t_blk, jnp.where(t_blk, cum, 0), sval)
+            son = son | t_blk
+            bcleft = jnp.where(t_blk, bcleft - 1, bcleft)
+            blkdone = blkdone | (t_blk & (bcleft == 0))
+
+            # blocks done: implicit tail, then extras
+            tail_on = blkdone & ((bctot & 1) == 0)
+            copied = jnp.where(tail_on, copied + jnp.maximum(dp - cum, 0),
+                               copied)
+            go_extras = go_extras | blkdone
+
+            # extras entry: interval count (if any extras and minint != 0)
+            extra = d - jnp.where(rf > 0, copied, 0)
+            if minint != 0:
+                nst = jnp.where(go_extras & (extra > 0), S_ICNT, nst)
+                minit = minit | (go_extras & (extra <= 0))
+            else:
+                icnt = jnp.where(go_extras, 0, icnt)
+                minit = minit | go_extras
+
+            # ICNT
+            if minint != 0:
+                t_ic = ready & (st == S_ICNT)
+                icnt = jnp.where(t_ic, v, icnt)
+                iarcs = jnp.where(t_ic, 0, iarcs)
+                il = jnp.where(t_ic, 2 * v, il)
+                firsti = jnp.where(t_ic, 1, firsti)
+                nst = jnp.where(t_ic & (v > 0), S_INT, nst)
+                minit = minit | (t_ic & (v == 0))
+
+                # INT: alternating left / len codes, resolved immediately
+                t_in = ready & (st == S_INT)
+                is_left = t_in & ((il & 1) == 0)
+                is_len = t_in & ((il & 1) == 1)
+                leftv = jnp.where(firsti > 0,
+                                  gid + P.nat2int_u(v.astype(U32)),
+                                  ptop + 1 + v)
+                lastleft = jnp.where(is_left, leftv, lastleft)
+                firsti = jnp.where(is_left, 0, firsti)
+                lenv = v + minint
+                ptop = jnp.where(is_len, lastleft + lenv, ptop)
+                iarcs = jnp.where(is_len, iarcs + lenv, iarcs)
+                sval = jnp.where(is_left, leftv, jnp.where(is_len, lenv, sval))
+                son = son | t_in
+                il = jnp.where(t_in, il - 1, il)
+                minit = minit | (t_in & (il == 0))
+
+            # merge init
+            em = jnp.where(minit, 0, em)
+            crem = jnp.where(minit, jnp.where(rf > 0, copied, 0), crem)
+            cp = jnp.where(minit, 0, cp)
+            ri = jnp.where(minit, 0, ri)
+            kld = jnp.where(minit, 0, kld)
+            iidx = jnp.where(minit, bctot, iidx)
+            ileft = jnp.where(minit, icnt, ileft)
+            irem = jnp.where(minit, 0, irem)
+            rvok = jnp.where(minit, 0, rvok)
+            firstr = jnp.where(minit, 1, firstr)
+            rescnt = jnp.maximum(d - jnp.where(rf > 0, copied, 0) - iarcs, 0)
+            rdleft = jnp.where(minit, rescnt, rdleft)
+            remr = jnp.where(minit, rescnt, remr)
+            nst = jnp.where(minit, S_MRG, nst)
+
+            # residual decode (decode-ahead of one)
+            t_res = ready & res_need
+            rnew = jnp.where(firstr > 0, gid + P.nat2int_u(v.astype(U32)),
+                             rvlast + 1 + v)
+            rvv = jnp.where(t_res, rnew, rvv)
+            rvlast = jnp.where(t_res, rnew, rvlast)
+            firstr = jnp.where(t_res, 0, firstr)
+            rvok = jnp.where(t_res, 1, rvok)
+            rdleft = jnp.where(t_res, rdleft - 1, rdleft)
+
+            # ---- merge emission -----------------------------------------
+            mrg = in_mrg  # lanes already in MRG before this sub-step
+            # run advance (consumed run) -> reload next sub-step
+            radv = mrg & (kld == 1) & (S["crem"] > 0) & (cp >= ken)
+            ri = jnp.where(radv, ri + 2, ri)
+            kld = jnp.where(radv, 0, kld)
+            # skip to run start (discards are free: cp jumps)
+            cp = jnp.where(mrg & (kld == 1) & (cp < kst), kst, cp)
+
+            cneed = mrg & (crem > 0)
+            pos_ok = (kld == 1) & (cp >= kst) & (cp < ken)
+            cqi = pb + cp
+            # cqi >= wp can only happen for non-ancestor overlap (junk)
+            # nodes, whose values are never used: accept garbage instead of
+            # stalling forever (a real parent always finished emitting
+            # before its child starts — the lane is sequential)
+            junk_read = cqi >= S["wp"]
+            q_ok = ((cqi >= S["cqb"]) & (cqi < S["cqb"] + QD)
+                    & ((cqi < S["cqlim"]) | junk_read))
+            qrows = [S[f"q{j}"] for j in range(QD)]
+            ch = jnp.where(cneed & pos_ok & q_ok,
+                           sel_row(qrows, jnp.clip(cqi - S["cqb"], 0, QD - 1)),
+                           INF)
+            cflag = jnp.where(S["cflag"] > 0, True,
+                              cneed & pos_ok & ~q_ok)
+
+            ih = jnp.where(irem > 0, icur, INF)
+            rh = jnp.where((rvok > 0) & (remr > 0), rvv, INF)
+
+            c_ready = (crem == 0) | (pos_ok & q_ok)
+            i_ready = (irem > 0) | (ileft == 0)
+            r_ready = (remr == 0) | (rvok > 0)
+            stall_out = (S["wb"] - S["flp"] * 128) >= 240
+            can = (mrg & (em < d) & c_ready & i_ready & r_ready
+                   & (S["ap"] < 8) & ~stall_out)
+
+            emit = jnp.minimum(ch, jnp.minimum(ih, rh))
+            is_c = can & (ch <= ih) & (ch <= rh)
+            is_i = can & ~is_c & (ih <= rh)
+            is_r = can & ~is_c & ~is_i
+
+            ap = S["ap"]
+            ab = [S[f"a{j}"] for j in range(8)]
+            for j in range(8):
+                ab[j] = jnp.where(can & (ap == j), emit, ab[j])
+            ap = jnp.where(can, ap + 1, ap)
+            wpv = jnp.where(can, S["wp"] + 1, S["wp"])
+
+            crem = jnp.where(is_c, crem - 1, crem)
+            cp = jnp.where(is_c, cp + 1, cp)
+            irem = jnp.where(is_i, irem - 1, irem)
+            icur = jnp.where(is_i, icur + 1, icur)
+            rvok = jnp.where(is_r, 0, rvok)
+            remr = jnp.where(is_r, remr - 1, remr)
+            em = jnp.where(can, em + 1, em)
+
+            # ---- side append --------------------------------------------
+            sregs2 = list(sregs)
+            for j in range(8):
+                sregs2[j] = jnp.where(son & ((sp & 7) == j), sval, sregs2[j])
+            sp = jnp.where(son, sp + 1, sp)
+
+            # ---- node advance -------------------------------------------
+            adv = adv0 | (mrg & jnp.where(can, em == d, (em == d) & (d > 0)))
+            # (em==d & d>0) covers degenerate all-copied nodes finishing
+            # exactly on a prior sub-step; adv fires once since st leaves MRG
+            loc = jnp.where(adv, S["loc"] + 1, S["loc"])
+            nst = jnp.where(adv,
+                            jnp.where(loc >= cntv, S_DONE, S_OUTD), nst)
+            gid = jnp.where(adv, gid + 1, gid)
+            newfb = wpv - d
+            drs = [S[f"dr{j}"] for j in range(7)]
+            fbs = [S[f"fb{j}"] for j in range(7)]
+            for j in range(6, 0, -1):
+                drs[j] = jnp.where(adv, drs[j - 1], drs[j])
+                fbs[j] = jnp.where(adv, fbs[j - 1], fbs[j])
+            drs[0] = jnp.where(adv, d, drs[0])
+            fbs[0] = jnp.where(adv, newfb, fbs[0])
+            sp = jnp.where(adv, 0, sp)
+            sdump = jnp.where(adv, 0, sdump)
+            rf = jnp.where(adv, 0, rf)
+            cflag = cflag & ~adv
+
+            out = dict(S)
+            out.update(
+                w0=w0, w1=w1, w2=w2, avail=avail, nw=nw, st=nst, loc=loc,
+                gid=gid, d=d, rf=rf, dp=dp, pb=pb, bcleft=bcleft,
+                bctot=bctot, cum=cum, copied=copied, iarcs=iarcs, icnt=icnt,
+                il=il, lastleft=lastleft, ptop=ptop, firsti=firsti, sp=sp,
+                sdump=sdump, em=em, crem=crem, cp=cp, ri=ri, kst=kst,
+                ken=ken, kld=kld, iidx=iidx, ileft=ileft, icur=icur,
+                irem=irem, rv=rvv, rvlast=rvlast, rvok=rvok, remr=remr,
+                rdleft=rdleft, firstr=firstr, wp=wpv, ap=ap,
+                cflag=cflag.astype(I32))
+            for j in range(8):
+                out[f"a{j}"] = ab[j]
+                out[f"s{j}"] = sregs2[j]
+            for j in range(7):
+                out[f"dr{j}"] = drs[j]
+                out[f"fb{j}"] = fbs[j]
+            return out
+
+        def trip(carry):
+            S = unpack(carry[0])
+            trips = carry[1]
+
+            # ---- copy-queue fetch (flagged lanes, start of trip) --------
+            def do_fetch(args):
+                qr, cqb, cqlim = args
+                need = S["cflag"] > 0
+                base = jnp.where(need, S["pb"] + S["cp"], cqb)
+                bT = flat(base).T
+                idxQ = bT + jax.lax.broadcasted_iota(I32, (LANES, QD), 1)
+                # midT holds entries [wb - 248, wp): the current 8-group's
+                # write-through cols alias (and corrupt) the oldest 8
+                wbT = flat(S["wb"]).T
+                use_mid = idxQ >= (wbT - 248)
+                midv = own_read(midt_ref, jnp.clip(idxQ, 0, INF) & 255, 256)
+                slabv = own_read(slab_ref, jnp.clip(idxQ, 0, SLABW - 1),
+                                 SLABW)
+                newq = jnp.where(use_mid, midv, slabv)
+                needT = flat(S["cflag"]).T > 0
+                outq = []
+                for kq in range(QD):
+                    col = unflat(newq[:, kq : kq + 1].reshape(1, LANES))
+                    outq.append(jnp.where(need, col, qr[kq]))
+                ncqb = jnp.where(need, base, cqb)
+                ncql = jnp.where(need, S["rdlim"], cqlim)
+                return tuple(outq), ncqb, ncql
+
+            qrows = tuple(S[f"q{j}"] for j in range(QD))
+            qrows, cqb, cqlim = jax.lax.cond(
+                _any(S["cflag"]) > 0, do_fetch,
+                lambda a: a, (qrows, S["cqb"], S["cqlim"]))
+            for j in range(QD):
+                S[f"q{j}"] = qrows[j]
+            S["cqb"] = cqb
+            S["cqlim"] = cqlim
+            S["cflag"] = jnp.zeros((GROUPS, GLANES), I32)
+
+            # ---- sub-steps ----------------------------------------------
+            for _ in range(U):
+                S = substep(S)
+
+            # ---- write-through ab -> midT (and roll full buffers) -------
+            abM = jnp.concatenate([flat(S[f"a{j}"]) for j in range(8)], 0)
+            abT = abM.T  # (1024, 8)
+            pos8 = flat((S["wb"] >> 3) & 31).T
+            for p in range(32):
+                cur = midt_ref[:, 8 * p : 8 * p + 8]
+                selp = pos8 == p
+                midt_ref[:, 8 * p : 8 * p + 8] = jnp.where(selp, abT, cur)
+            full = S["ap"] == 8
+            S["wb"] = jnp.where(full, S["wb"] + 8, S["wb"])
+            S["ap"] = jnp.where(full, 0, S["ap"])
+            S["rdlim"] = S["wp"]
+
+            # ---- side dump (full 8-groups -> sidebuf) -------------------
+            sfull = (S["sp"] - S["sdump"]) == 8
+
+            @pl.when(_any(sfull) > 0)
+            def _():
+                sM = jnp.concatenate([flat(S[f"s{j}"]) for j in range(8)], 0)
+                sT = sM.T
+                posS = flat(S["sdump"] >> 3).T
+                sfT = flat(sfull).T
+                for p in range(SB // 8):
+                    cur = side_ref[:, 8 * p : 8 * p + 8]
+                    selp = sfT & (posS == p)
+                    side_ref[:, 8 * p : 8 * p + 8] = jnp.where(selp, sT, cur)
+
+            S["sdump"] = jnp.where(sfull, S["sdump"] + 8, S["sdump"])
+
+            # ---- flush completed 128-blocks midT -> slab ----------------
+            pnd = (S["wb"] >> 7) > S["flp"]
+            bmin = jnp.min(jnp.where(pnd, S["flp"], INF))
+            flpv = S["flp"]
+            fl_sel = []
+            for j in range(2):
+                fl_sel.append(pnd & (flpv == bmin + j))
+
+            @pl.when(_any(pnd) > 0)
+            def _():
+                lo = midt_ref[:, 0:128]
+                hi = midt_ref[:, 128:256]
+                for j in range(2):
+                    B = bmin + j
+                    src = jnp.where((B & 1) == 1, hi, lo)
+                    selT = flat(fl_sel[j]).T
+                    cur = slab_ref[:, pl.ds(jnp.clip(B, 0, SLABW // 128 - 1)
+                                            * 128, 128)]
+                    slab_ref[:, pl.ds(jnp.clip(B, 0, SLABW // 128 - 1) * 128,
+                                      128)] = jnp.where(selT, src, cur)
+
+            for j in range(2):
+                S["flp"] = jnp.where(fl_sel[j], S["flp"] + 1, S["flp"])
+
+            if cfg.debug_counters:
+                smem_ref[0] = smem_ref[0] + 1
+                smem_ref[1] = smem_ref[1] + _any(sfull)
+                smem_ref[2] = smem_ref[2] + _any(pnd)
+                smem_ref[3] = smem_ref[3] + _any(S["cflag"])
+
+            return (tuple(S[f] for f in _FIELDS), trips + 1)
+
+        def cond(carry):
+            S = unpack(carry[0])
+            running = _any(S["st"] != S_DONE) > 0
+            return running & (carry[1] < cfg.trip_cap)
+
+        if cfg.debug_counters:
+            for i in range(8):
+                smem_ref[i] = 0
+        final, trips = jax.lax.while_loop(
+            cond, trip, (state0, jnp.int32(0)))
+        S = unpack(final)
+
+        # ---- final drain: remaining midT blocks + partial block ---------
+        abM = jnp.concatenate([flat(S[f"a{j}"]) for j in range(8)], 0)
+        abT = abM.T
+        pos8 = flat((S["wb"] >> 3) & 31).T
+        for p in range(32):
+            cur = midt_ref[:, 8 * p : 8 * p + 8]
+            selp = pos8 == p
+            midt_ref[:, 8 * p : 8 * p + 8] = jnp.where(selp, abT, cur)
+        lo = midt_ref[:, 0:128]
+        hi = midt_ref[:, 128:256]
+        wpT = flat(S["wp"]).T
+        flpT = flat(S["flp"]).T
+        for B in range(SLABW // 128):
+            src = hi if (B & 1) else lo
+            sel = (flpT <= B) & (B * 128 < wpT)
+            cur = slab_ref[:, B * 128 : (B + 1) * 128]
+            slab_ref[:, B * 128 : (B + 1) * 128] = jnp.where(sel, src, cur)
+
+        wp_ref[:] = S["wp"]
+        if cfg.debug_counters:
+            li = lane_iota()
+            dv = jnp.zeros((GROUPS, GLANES), I32)
+            for i in range(8):
+                dv = jnp.where(li == i, smem_ref[i], dv)
+            dbg_ref[:] = jnp.where(li == 8, trips, dv)
+        else:
+            dbg_ref[:] = jnp.broadcast_to(trips, (GROUPS, GLANES))
+
+    return kernel
+
+
+# ----------------------------------------------------------------------
+# host wrapper
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled2(cfg: Cfg2, interpret: bool):
+    kernel = build_kernel2(cfg)
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((LANES, cfg.slabw), I32),   # slab
+            jax.ShapeDtypeStruct((GROUPS, GLANES), I32),     # wp
+            jax.ShapeDtypeStruct((GROUPS, GLANES), I32),     # dbg
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # meta
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # words
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((LANES, 256), I32),                   # midT
+            pltpu.VMEM((LANES, cfg.sb), I32),                # sidebuf
+            pltpu.SMEM((8,), I32),                           # counters
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def _u32_words(g) -> np.ndarray:
+    from webgraph_tpu.bits.bitstream import as_u64_words
+
+    w64 = as_u64_words(g._words)
+    w32 = np.empty(2 * len(w64), dtype=np.uint32)
+    w32[0::2] = (w64 >> np.uint64(32)).astype(np.uint32)
+    w32[1::2] = (w64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return w32
+
+
+def prepare2(g, *, slab_cap: int = 8192, debug_counters: bool = False):
+    """Plan + pack device inputs for the streaming decoder.
+
+    Returns (cfg, plan, meta, words_lane).  Planning mirrors the load-time
+    index builds of the reference (.obl / .outdegrees, BVGraph.java:362-364)
+    and is not part of the timed decode."""
+    from webgraph_tpu.pallas.plan import scan_structure
+
+    scan = scan_structure(g)
+    plan = plan_lanes(g, scan, slab_cap=slab_cap)
+    cfg = make_cfg2(g, plan, debug_counters=debug_counters)
+
+    w32 = _u32_words(g)
+    words_lane = np.zeros((LANES, plan.lw), dtype=np.uint32)
+    for l in range(LANES):
+        a = int(plan.word0[l])
+        b = min(a + plan.lw, len(w32))
+        if b > a:
+            words_lane[l, : b - a] = w32[a:b]
+    words_lane = words_lane.view(np.int32)
+
+    meta = np.zeros((16, GROUPS, GLANES), dtype=np.int32)
+    meta[0] = plan.gid0.reshape(GROUPS, GLANES)
+    meta[1] = plan.cnt.reshape(GROUPS, GLANES)
+    meta[2] = plan.bit0.reshape(GROUPS, GLANES)
+    for j in range(7):
+        meta[3 + j] = plan.d7[j].reshape(GROUPS, GLANES)
+    return cfg, plan, meta, words_lane
+
+
+def decode_to_slab(g, *, interpret: bool | None = None,
+                   slab_cap: int = 8192, debug_counters: bool = False):
+    """Run the streaming kernel; returns (plan, slab, wp, dbg)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cfg, plan, meta, words = prepare2(
+        g, slab_cap=slab_cap, debug_counters=debug_counters)
+    fn = _compiled2(cfg, bool(interpret))
+    slab, wp, dbg = fn(jnp.asarray(meta), jnp.asarray(words))
+    return plan, np.asarray(slab), np.asarray(wp).reshape(-1), np.asarray(dbg)
+
+
+def decode_to_csr(g, *, interpret: bool | None = None,
+                  slab_cap: int = 8192):
+    """Decode via the streaming kernel; return (offsets int64[n+1],
+    successors int32[m]) identical to bvgraph_np.decode_to_csr.
+
+    The flat-CSR compaction is a host-side convenience for tests; the
+    kernel's native output (slab + plan.prow) is itself a constant-time
+    random-access representation."""
+    plan, slab, wp, _ = decode_to_slab(g, interpret=interpret,
+                                       slab_cap=slab_cap)
+    exp = plan.exp_wp
+    if not np.array_equal(wp[: len(exp)], exp):
+        bad = np.flatnonzero(wp[: len(exp)] != exp)[:8]
+        raise AssertionError(
+            f"lane emission counts off at lanes {bad}: "
+            f"{wp[bad]} vs {exp[bad]}")
+    n, m = plan.n, plan.m
+    from webgraph_tpu.pallas.plan import scan_structure
+
+    flatslab = slab.reshape(-1)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    dd = scan_structure(g).d.astype(np.int64)
+    np.cumsum(dd, out=offsets[1:])
+    # vectorized ragged gather: node x's row lives at slab[prow[x] ...]
+    take = np.repeat(plan.prow[:n], dd) + (
+        np.arange(m) - np.repeat(offsets[:n], dd))
+    succ = flatslab[take].astype(np.int32)
+    return offsets, succ

@@ -177,7 +177,7 @@ def decode_to_csr_sharded(g, mesh: Mesh, plan: ShardPlan | None = None):
     """Decode one BVGraph with its node range sharded over ``mesh``'s first
     axis; returns host-reassembled ``(offsets int64[n+1], succ int32[m])``
     plus the plan (for tests/benchmarks)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = mesh.axis_names[0]
     S = mesh.devices.size
@@ -193,7 +193,7 @@ def decode_to_csr_sharded(g, mesh: Mesh, plan: ShardPlan | None = None):
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
 
     def run(wds, bos, pds, nbs):
