@@ -47,7 +47,7 @@ def main():
 
     @jax.jit
     def fn(meta, words, w, salt):
-        slab, wp, dbg = pallas_fn(meta, words)
+        slab, wp, dbg, dump = pallas_fn(meta, words)
         chk = jnp.sum(slab.astype(jnp.uint32) * w, dtype=jnp.uint32)
         return chk + salt, wp, dbg
 
@@ -62,8 +62,8 @@ def main():
           f"({s0} vs {expect})")
     dbg = np.asarray(dbg).reshape(-1)
     if counters:
-        print(f"trips={dbg[8]} sdump_ev={dbg[1]} flush_ev={dbg[2]} "
-              f"cfetch_ev={dbg[3]}")
+        print(f"substeps={dbg[8]} sdump_ev={dbg[1]} flush_ev={dbg[2]} "
+              f"cfetch_ev={dbg[3]} wfetch_ev={dbg[4]} sfetch_ev={dbg[5]}")
     else:
         print("trips:", dbg[0])
     if not (ok_wp and s0 == expect):

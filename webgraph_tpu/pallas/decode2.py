@@ -45,6 +45,7 @@ and the cnr-2000 fixture.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -66,6 +67,16 @@ INF = 0x7FFFFFFF
 
 # states of the per-lane record machine
 S_OUTD, S_REF, S_BC, S_BLK, S_ICNT, S_INT, S_MRG, S_DONE = range(8)
+
+_TRACE_LANE = None  # set to a lane id to debug_print its per-sub-step state
+# perf-bisection probes (scripts/v6_chip.py only): disable pieces statically
+_P_NOFETCH = bool(os.environ.get("D2_NOFETCH"))
+_P_NOTE = bool(os.environ.get("D2_NOTE"))
+_P_CAP = int(os.environ.get("D2_CAP", "0"))
+_P_NOFAR = bool(os.environ.get("D2_NOFAR"))
+_P_NOW = bool(os.environ.get("D2_NOW"))
+_P_NOS = bool(os.environ.get("D2_NOS"))
+_P_NOC = bool(os.environ.get("D2_NOC"))
 
 
 # ----------------------------------------------------------------------
@@ -119,7 +130,9 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
         + ((extra > 0) & (mi != 0)) * (1 + 2 * ic)
         + res
     )
-    work = ncodes + d + 2
+    # sub-steps per node: every code is one sub-step; copy/interval
+    # emissions are one each; residual decode+emit share a sub-step
+    work = ncodes + (d - res) + 3
     csr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(d, out=csr[1:])
 
@@ -131,31 +144,62 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
     for _ in range(maxdep + 1):
         minanc = np.minimum(minanc, cur)
         cur = parent[cur]
+    reach = int((np.arange(n) - minanc).max(initial=0))
 
     wc = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(work, out=wc[1:])
 
-    def partition(lam: float):
-        cost = work + lam * d
-        cc = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(cost, out=cc[1:])
-        targets = cc[-1] * np.arange(1, lanes + 1) / lanes
-        bounds = np.searchsorted(cc, targets).astype(np.int64)
-        bounds[-1] = n
-        bounds = np.maximum.accumulate(bounds)
-        starts = np.concatenate([[0], bounds[:-1]])
-        return starts, bounds
-
-    # blend in extra arc weight until the slab fits slab_cap
-    for lam in (0.0, 1.0, 2.0, 4.0, 8.0, 16.0):
-        starts, bounds = partition(lam)
-        gid0 = np.empty(lanes, dtype=np.int64)
+    def partition(T: int):
+        """Greedy: close a lane when its sub-step budget T or the slab arc
+        cap is hit.  Returns (starts, bounds) or None if > `lanes` ranges
+        are needed (T too small)."""
+        starts = np.zeros(lanes, dtype=np.int64)
+        bounds = np.zeros(lanes, dtype=np.int64)
+        a = 0
         for l in range(lanes):
-            a, b = starts[l], bounds[l]
-            gid0[l] = a if b <= a else min(a, int(minanc[a:b].min()))
-        lane_arcs = csr[bounds] - csr[gid0]
-        if int(lane_arcs.max(initial=0)) <= slab_cap:
-            break
+            starts[l] = a
+            if a >= n:
+                bounds[l] = a
+                continue
+            b1 = int(np.searchsorted(wc, wc[a] + T, side="right")) - 1
+            amin = max(a - reach, 0)
+            b2 = int(np.searchsorted(csr, csr[amin] + slab_cap,
+                                     side="right")) - 1
+            b = max(a + 1, min(b1, b2, n))
+            bounds[l] = b
+            a = b
+        return (starts, bounds) if a >= n else None
+
+    # binary-search the smallest feasible per-lane budget; try growing
+    # slab caps (the arc cap consumes lanes in arc-dense regions, forcing
+    # the step budget up elsewhere) and keep the best trade
+    base_cap = slab_cap
+
+    def search(cap):
+        nonlocal slab_cap
+        slab_cap = cap
+        lo = max(int(work.max(initial=1)), int(wc[-1] // lanes))
+        hi = max(int(wc[-1]), lo + 1)
+        best = None
+        while lo < hi:
+            mid = (lo + hi) // 2
+            got = partition(mid)
+            if got is not None:
+                best = (mid, got)
+                hi = mid
+            else:
+                lo = mid + 1
+        return best if best is not None else (hi, partition(hi))
+
+    cand = [search(c) for c in
+            {base_cap, base_cap + 2048, base_cap + 4096}]
+    T, (starts, bounds) = min(cand, key=lambda x: x[0])
+
+    gid0 = np.empty(lanes, dtype=np.int64)
+    for l in range(lanes):
+        a, b = starts[l], bounds[l]
+        gid0[l] = a if b <= a else min(a, int(minanc[a:b].min()))
+    lane_arcs = csr[bounds] - csr[gid0]
     slabw = int(lane_arcs.max(initial=0))
     slabw = max(256, -(-slabw // 128) * 128)
 
@@ -172,7 +216,7 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
         d7[j, ok] = d[idx[ok]]
 
     # per-lane sub-step bound (stall-free); the kernel adds a safety margin
-    lane_steps = wc[bounds] - wc[gid0] + csr[bounds] - csr[gid0]
+    lane_steps = wc[bounds] - wc[gid0]
     max_steps = int(lane_steps.max(initial=1))
 
     prow = np.zeros(n + 1, dtype=np.int64)
@@ -227,6 +271,8 @@ def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False) -> Cfg2:
     need = min(64, 2 * vbits + 1)
     U = 8
     cap = 4 * (plan.max_steps // U + 1) + 4096
+    if _P_CAP:
+        cap = _P_CAP
     return Cfg2(
         skey=(
             s.outdegree_coding,
@@ -261,19 +307,48 @@ def _all(x):
     return jnp.min(x.astype(I32))
 
 
-def own_read(buf_ref, idxT, ncols: int):
-    """Per-lane own-row gather: out[l, k] = buf[l, idxT[l, k]].
+def gather_chunks(buf_ref, idx128, ncols: int):
+    """Per-lane own-row gather: out[l, c] = buf[l, idx128[l, c]].
 
-    buf_ref: (1024, ncols) i32 VMEM ref; idxT: (1024, K) int32 clipped by the
-    caller to [0, ncols).  Decomposed into 128-column chunk gathers (the only
-    gather form Mosaic lowers) + a chunk select."""
-    out = jnp.zeros(idxT.shape, I32)
+    idx128 is (1024, 128) — full-width queries match the 128-aligned block
+    loads (sub-128 REF slicing forces lane rotations and is ruinously slow
+    in Mosaic), and a 128-wide gather costs the same as a narrow one
+    (~0.35 us per chunk, per-op overhead dominated)."""
+    out = jnp.zeros(idx128.shape, I32)
     for c in range(ncols // 128):
-        g = jnp.take_along_axis(
-            buf_ref[:, c * 128 : (c + 1) * 128],
-            jnp.clip(idxT - c * 128, 0, 127), axis=1)
-        out = jnp.where((idxT >> 7) == c, g, out)
+        blk = buf_ref[:, c * 128 : (c + 1) * 128]
+        g = jnp.take_along_axis(blk, jnp.clip(idx128 - c * 128, 0, 127),
+                                axis=1)
+        out = jnp.where((idx128 >> 7) == c, g, out)
     return out
+
+
+def place8(vals8, pos8T, width: int):
+    """Scatter an (1024, 8) value group to per-lane 8-aligned offsets of a
+    (1024, width) tile: zero-pad to width, then a log-composed lane roll by
+    8 * pos8 (static shifts + per-lane selects), returning (tile, colmask).
+    Used for every sub-128-granularity VMEM update: the caller RMWs a full
+    aligned block with the returned mask."""
+    B = jnp.concatenate(
+        [vals8, jnp.zeros((LANES, width - 8), I32)], axis=1)
+    nbits = (width // 8).bit_length() - 1
+    for j in range(nbits):
+        rolled = pltpu.roll(B, 8 << j, 1)
+        B = jnp.where((pos8T >> j) & 1 > 0, rolled, B)
+    ci = jax.lax.broadcasted_iota(I32, (LANES, width), 1)
+    s0 = pos8T * 8
+    mask = (ci >= s0) & (ci < s0 + 8)
+    return B, mask
+
+
+def iotaq(q: int):
+    return jax.lax.broadcasted_iota(I32, (LANES, q), 1)
+
+
+def to_regs(mat, q: int):
+    """(1024, >=q) -> q (8,128) registers (row-major lane order)."""
+    t = mat[:, :q].T  # (q, 1024)
+    return [t[k : k + 1, :].reshape(GROUPS, GLANES) for k in range(q)]
 
 
 def ring_sel(rows, idx):
@@ -333,16 +408,31 @@ def win_drop(w0, w1, w2, avail, length, on):
 # kernel builder
 # ----------------------------------------------------------------------
 
+WQ = 32   # word-queue depth (registers)
+CQ = 32   # copy-queue depth
+SQ = 8    # run-boundary / interval-pair queue depth
+
 # loop-carry field names, in order (all (8,128) int32 unless noted)
 _FIELDS = (
     "w0 w1 w2 avail nw st loc gid d rf dp pb bcleft bctot cum copied "
     "iarcs icnt il lastleft ptop firsti sp sdump em crem cp ri kst ken "
     "kld iidx ileft icur irem rv rvlast rvok remr rdleft firstr "
-    "wp wb ap flp cqb cqlim cflag rdlim "
+    "wp wb ap flp wqb cqb cqlim rqb rqn iqb iqn "
+    "wflag cflag rflag iflag rdlim "
     "dr0 dr1 dr2 dr3 dr4 dr5 dr6 fb0 fb1 fb2 fb3 fb4 fb5 fb6 "
-    "a0 a1 a2 a3 a4 a5 a6 a7 s0 s1 s2 s3 s4 s5 s6 s7 "
-    "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15"
+    + " ".join(f"a{j}" for j in range(8)) + " "
+    + " ".join(f"s{j}" for j in range(8)) + " "
+    + " ".join(f"wq{j}" for j in range(WQ)) + " "
+    + " ".join(f"cq{j}" for j in range(CQ)) + " "
+    + " ".join(f"rq{j}" for j in range(SQ)) + " "
+    + " ".join(f"iq{j}" for j in range(SQ))
 ).split()
+
+
+_DUMP_FIELDS = (
+    "st em d crem cp kst ken kld ri rqb rqn iqb iqn ileft irem remr "
+    "rvok rdleft avail sp sdump bctot icnt wp ap wb flp cqb cqlim loc "
+    "nw iidx").split()
 
 
 def build_kernel2(cfg: Cfg2):
@@ -352,9 +442,7 @@ def build_kernel2(cfg: Cfg2):
     NEED = cfg.need_bits
     LW, SLABW, SB = cfg.lw, cfg.slabw, cfg.sb
     U = cfg.unroll
-    QD = 16
 
-    # one reader per DISTINCT coding used (value, length on the 64-bit head)
     codings = {}
     for st_id, coding in ((S_OUTD, outd_c), (S_REF, ref_c), (S_BC, bcnt_c),
                           (S_BLK, blk_c), (S_ICNT, C.GAMMA), (S_INT, C.GAMMA),
@@ -362,8 +450,8 @@ def build_kernel2(cfg: Cfg2):
         codings.setdefault(coding, []).append(st_id)
     readers = {cd: P.make_window_reader(cd, zeta_k) for cd in codings}
 
-    def kernel(meta_ref, words_ref, slab_ref, wp_ref, dbg_ref,
-               midt_ref, side_ref, smem_ref):
+    def kernel(meta_ref, words_ref, slab_ref, wp_ref, dbg_ref, dump_ref,
+               midt_ref, ring_ref, side_ref, smem_ref):
         z = jnp.zeros((GROUPS, GLANES), I32)
         zu = jnp.zeros((GROUPS, GLANES), U32)
 
@@ -372,14 +460,20 @@ def build_kernel2(cfg: Cfg2):
         bit0 = meta_ref[2]
         d7 = [meta_ref[3 + j] for j in range(7)]
 
-        st0 = {f: z for f in _FIELDS}
+        # a CONCRETE (memory-derived) zero: splat-constant initial carries
+        # get a replicated vector layout that Mosaic cannot relayout to the
+        # concrete layouts the fetch branches produce
+        zc = jnp.minimum(jnp.abs(gid0), 0)
+        st0 = {f: zc for f in _FIELDS}
         for f in ("w0", "w1", "w2"):
-            st0[f] = zu
+            st0[f] = zc.astype(U32)
         st0["st"] = jnp.where(cntv > 0, S_OUTD, S_DONE)
         st0["gid"] = gid0
         st0["avail"] = -(bit0 & 31)
         st0["nw"] = bit0 >> 5
-        st0["cqb"] = jnp.full_like(z, INF)
+        st0["wqb"] = zc - (1 << 20)
+        st0["cqb"] = zc + INF
+        st0["wflag"] = jnp.where(cntv > 0, 1, 0)
         for j in range(7):
             st0[f"dr{j}"] = d7[j]
         state0 = tuple(st0[f] for f in _FIELDS)
@@ -387,16 +481,35 @@ def build_kernel2(cfg: Cfg2):
         def unpack(t):
             return dict(zip(_FIELDS, t))
 
+        def sideq_read(S, base):
+            """Side entries [base, base+8) as 8 regs: sidebuf for dumped
+            entries, the ab_side registers for the undumped tail."""
+            bT = flat(base).T
+            idx = jnp.clip(bT + iotaq(128), 0, SB - 1)
+            got = gather_chunks(side_ref, idx, SB)
+            regs = to_regs(got, SQ)
+            sregs = [S[f"s{j}"] for j in range(8)]
+            out = []
+            for k in range(SQ):
+                e = base + k
+                ov = ring_sel(sregs[:7], e & 7)
+                ov = jnp.where((e & 7) == 7, sregs[7], ov)
+                out.append(jnp.where(e >= S["sdump"], ov, regs[k]))
+            return out
+
         def substep(S):
             st = S["st"]
             in_mrg = st == S_MRG
             alive = st != S_DONE
 
-            # ---- window append (one word per sub-step) ------------------
-            app = alive & (S["avail"] < NEED) & (S["avail"] <= 64)
-            word = own_read(
-                words_ref, flat(jnp.clip(S["nw"], 0, LW - 1)).T, LW)
-            word = unflat(word.reshape(1, LANES))
+            # ---- window append (one word per sub-step, from the queue) ---
+            widx = S["nw"] - S["wqb"]
+            w_ok = (widx >= 0) & (widx < WQ)
+            app_need = alive & (S["avail"] < NEED) & (S["avail"] <= 64)
+            app = app_need & w_ok
+            wflag = (S["wflag"] > 0) | (app_need & ~w_ok)
+            word = sel_row([S[f"wq{j}"] for j in range(WQ)],
+                           jnp.clip(widx, 0, WQ - 1))
             w0, w1, w2, avail, nw = win_append(
                 S["w0"], S["w1"], S["w2"], S["avail"], S["nw"], word, app)
 
@@ -416,47 +529,59 @@ def build_kernel2(cfg: Cfg2):
                 rv_, rl_ = readers[cd](w0, w1)
                 m = jnp.zeros_like(st, dtype=bool)
                 for sid in st_ids:
-                    m = m | (st == (S_MRG if sid == S_MRG else sid))
-                # S_MRG residual decode only when res_need
-                if S_MRG in st_ids:
-                    m = m & jnp.where(in_mrg, res_need, m)
+                    if sid == S_MRG:
+                        m = m | res_need
+                    else:
+                        m = m | (st == sid)
                 v = jnp.where(m, rv_.astype(I32), v)
                 ln = jnp.where(m, rl_, ln)
             w0, w1, w2, avail = win_drop(w0, w1, w2, avail, ln, ready)
 
-            # ---- side-buffer read ports (values fully resolved at parse)
-            sregs = [S[f"s{j}"] for j in range(8)]
+            # ---- side queues: run-boundary pairs + interval pairs -------
+            ri, kld, bctot, dp = S["ri"], S["kld"], S["bctot"], S["dp"]
+            rqrows = [S[f"rq{j}"] for j in range(SQ)]
+            iqrows = [S[f"iq{j}"] for j in range(SQ)]
 
-            def side_at(idx):
-                base = own_read(side_ref,
-                                flat(jnp.clip(idx, 0, SB - 1)).T, SB)
-                base = unflat(base.reshape(1, LANES))
-                ovl = ring_sel([sregs[j] for j in range(7)] + [sregs[7]],
-                               idx & 7)
-                ovl = jnp.where((idx & 7) == 7, sregs[7], ovl)
-                return jnp.where(idx >= S["sdump"], ovl, base)
+            def rq_at(j):
+                k = j - S["rqb"]
+                ok = (k >= 0) & (k < S["rqn"])
+                return sel_row(rqrows, jnp.clip(k, 0, SQ - 1)), ok
+
+            def iq_at(j):
+                k = j - S["iqb"]
+                ok = (k >= 0) & (k < S["iqn"])
+                return sel_row(iqrows, jnp.clip(k, 0, SQ - 1)), ok
 
             # port A: next keep-run pair [kst, ken)
-            ri, kld, bctot, dp = S["ri"], S["kld"], S["bctot"], S["dp"]
-            pa_on = in_mrg & (kld == 0) & (S["crem"] > 0)
-            kst_new = jnp.where(ri == 0, 0, side_at(ri - 1))
-            ken_new = jnp.where(ri < bctot, side_at(ri),
+            pa_need = in_mrg & (kld == 0) & (S["crem"] > 0)
+            b0, ok0 = rq_at(ri - 1)
+            b1, ok1 = rq_at(ri)
+            need0 = ri > 0
+            need1 = ri < bctot
+            pa_ok = (~need0 | ok0) & (~need1 | ok1)
+            kst_new = jnp.where(need0, b0, 0)
+            ken_new = jnp.where(need1, b1,
                                 jnp.where((bctot & 1) == 0, dp, 0))
+            pa_on = pa_need & pa_ok
             kst = jnp.where(pa_on, kst_new, S["kst"])
             ken = jnp.where(pa_on, ken_new, S["ken"])
             kld = jnp.where(pa_on, 1, kld)
+            rflag = (S["rflag"] > 0) | (pa_need & ~pa_ok)
 
             # port B: next interval pair (left, len)
-            pb_on = in_mrg & (S["irem"] == 0) & (S["ileft"] > 0)
-            int_left = side_at(S["iidx"])
-            int_len = side_at(S["iidx"] + 1)
-            icur = jnp.where(pb_on, int_left, S["icur"])
-            irem = jnp.where(pb_on, int_len, S["irem"])
+            pb_need = in_mrg & (S["irem"] == 0) & (S["ileft"] > 0)
+            iv0, iok0 = iq_at(S["iidx"])
+            iv1, iok1 = iq_at(S["iidx"] + 1)
+            pb_ok = iok0 & iok1
+            pb_on = pb_need & pb_ok
+            icur = jnp.where(pb_on, iv0, S["icur"])
+            irem = jnp.where(pb_on, iv1, S["irem"])
             iidx = jnp.where(pb_on, S["iidx"] + 2, S["iidx"])
             ileft = jnp.where(pb_on, S["ileft"] - 1, S["ileft"])
+            iflag = (S["iflag"] > 0) | (pb_need & ~pb_ok)
 
             # ---- state transitions --------------------------------------
-            d, rf, pb = S["d"], S["rf"], S["pb"]
+            d, rf, pb_ = S["d"], S["rf"], S["pb"]
             bcleft, cum, copied = S["bcleft"], S["cum"], S["copied"]
             iarcs, icnt, il = S["iarcs"], S["icnt"], S["il"]
             lastleft, ptop, firsti = S["lastleft"], S["ptop"], S["firsti"]
@@ -470,15 +595,14 @@ def build_kernel2(cfg: Cfg2):
             son = jnp.zeros_like(st, dtype=bool)
             minit = jnp.zeros_like(st, dtype=bool)
 
-            # OUTD (node start: clear per-node accumulators that later
-            # paths read before their own states would set them)
+            # OUTD (node start: clear per-node accumulators)
             t_outd = ready & (st == S_OUTD)
             d = jnp.where(t_outd, v, d)
             icnt = jnp.where(t_outd, 0, icnt)
             iarcs = jnp.where(t_outd, 0, iarcs)
             bctot = jnp.where(t_outd, 0, bctot)
             adv0 = t_outd & (v == 0)
-            go_extras = jnp.zeros_like(st, dtype=bool)  # d>0, ref resolved
+            go_extras = jnp.zeros_like(st, dtype=bool)
             if window > 0:
                 nst = jnp.where(t_outd & (v > 0), S_REF, nst)
             else:
@@ -492,7 +616,7 @@ def build_kernel2(cfg: Cfg2):
                 dregs = [S[f"dr{j}"] for j in range(7)]
                 fregs = [S[f"fb{j}"] for j in range(7)]
                 dp = jnp.where(hasr, ring_sel(dregs, v - 1), dp)
-                pb = jnp.where(hasr, ring_sel(fregs, v - 1), pb)
+                pb_ = jnp.where(hasr, ring_sel(fregs, v - 1), pb_)
                 nst = jnp.where(hasr, S_BC, nst)
                 go_extras = go_extras | (t_ref & (v == 0))
 
@@ -511,7 +635,7 @@ def build_kernel2(cfg: Cfg2):
             bval = jnp.where(k > 0, v + 1, v)
             cum = jnp.where(t_blk, cum + bval, cum)
             copied = jnp.where(t_blk & ((k & 1) == 0), copied + bval, copied)
-            sval = jnp.where(t_blk, jnp.where(t_blk, cum, 0), sval)
+            sval = jnp.where(t_blk, cum, sval)
             son = son | t_blk
             bcleft = jnp.where(t_blk, bcleft - 1, bcleft)
             blkdone = blkdone | (t_blk & (bcleft == 0))
@@ -522,20 +646,17 @@ def build_kernel2(cfg: Cfg2):
                                copied)
             go_extras = go_extras | blkdone
 
-            # extras entry: interval count (if any extras and minint != 0)
             extra = d - jnp.where(rf > 0, copied, 0)
             if minint != 0:
                 nst = jnp.where(go_extras & (extra > 0), S_ICNT, nst)
                 minit = minit | (go_extras & (extra <= 0))
             else:
-                icnt = jnp.where(go_extras, 0, icnt)
                 minit = minit | go_extras
 
             # ICNT
             if minint != 0:
                 t_ic = ready & (st == S_ICNT)
                 icnt = jnp.where(t_ic, v, icnt)
-                iarcs = jnp.where(t_ic, 0, iarcs)
                 il = jnp.where(t_ic, 2 * v, il)
                 firsti = jnp.where(t_ic, 1, firsti)
                 nst = jnp.where(t_ic & (v > 0), S_INT, nst)
@@ -558,7 +679,7 @@ def build_kernel2(cfg: Cfg2):
                 il = jnp.where(t_in, il - 1, il)
                 minit = minit | (t_in & (il == 0))
 
-            # merge init
+            # merge init + side-queue priming from the ab_side registers
             em = jnp.where(minit, 0, em)
             crem = jnp.where(minit, jnp.where(rf > 0, copied, 0), crem)
             cp = jnp.where(minit, 0, cp)
@@ -573,6 +694,29 @@ def build_kernel2(cfg: Cfg2):
             rdleft = jnp.where(minit, rescnt, rdleft)
             remr = jnp.where(minit, rescnt, remr)
             nst = jnp.where(minit, S_MRG, nst)
+            # prime run/interval queues when every side entry is still in
+            # registers (sdump == 0, the p90+ case); spilled nodes flag a
+            # trip-level fetch instead
+            in_regs = minit & (sdump == 0)
+            sregs0 = [S[f"s{j}"] for j in range(8)]
+            rqb = jnp.where(minit, 0, S["rqb"])
+            rqn = jnp.where(minit, jnp.where(in_regs, jnp.minimum(sp, 8), 0),
+                            S["rqn"])
+            iqb = jnp.where(minit, bctot, S["iqb"])
+            iqn = jnp.where(minit,
+                            jnp.where(in_regs,
+                                      jnp.clip(jnp.minimum(sp, 8) - bctot,
+                                               0, SQ), 0),
+                            S["iqn"])
+            rq2 = list(rqrows)
+            iq2 = list(iqrows)
+            for kq in range(SQ):
+                rq2[kq] = jnp.where(in_regs, sregs0[kq], rq2[kq])
+                iq2[kq] = jnp.where(
+                    in_regs, ring_sel(sregs0[:7], jnp.clip(bctot + kq, 0, 7)),
+                    iq2[kq])
+                iq2[kq] = jnp.where(in_regs & ((bctot + kq) == 7),
+                                    sregs0[7], iq2[kq])
 
             # residual decode (decode-ahead of one)
             t_res = ready & res_need
@@ -585,30 +729,27 @@ def build_kernel2(cfg: Cfg2):
             rdleft = jnp.where(t_res, rdleft - 1, rdleft)
 
             # ---- merge emission -----------------------------------------
-            mrg = in_mrg  # lanes already in MRG before this sub-step
-            # run advance (consumed run) -> reload next sub-step
+            mrg = in_mrg
             radv = mrg & (kld == 1) & (S["crem"] > 0) & (cp >= ken)
             ri = jnp.where(radv, ri + 2, ri)
             kld = jnp.where(radv, 0, kld)
-            # skip to run start (discards are free: cp jumps)
             cp = jnp.where(mrg & (kld == 1) & (cp < kst), kst, cp)
 
             cneed = mrg & (crem > 0)
             pos_ok = (kld == 1) & (cp >= kst) & (cp < ken)
-            cqi = pb + cp
-            # cqi >= wp can only happen for non-ancestor overlap (junk)
-            # nodes, whose values are never used: accept garbage instead of
+            cqi = pb_ + cp
+            # cqi >= wp only happens for non-ancestor overlap (junk) nodes
+            # whose values are never used: accept garbage instead of
             # stalling forever (a real parent always finished emitting
             # before its child starts — the lane is sequential)
             junk_read = cqi >= S["wp"]
-            q_ok = ((cqi >= S["cqb"]) & (cqi < S["cqb"] + QD)
+            q_ok = ((cqi >= S["cqb"]) & (cqi < S["cqb"] + CQ)
                     & ((cqi < S["cqlim"]) | junk_read))
-            qrows = [S[f"q{j}"] for j in range(QD)]
             ch = jnp.where(cneed & pos_ok & q_ok,
-                           sel_row(qrows, jnp.clip(cqi - S["cqb"], 0, QD - 1)),
+                           sel_row([S[f"cq{j}"] for j in range(CQ)],
+                                   jnp.clip(cqi - S["cqb"], 0, CQ - 1)),
                            INF)
-            cflag = jnp.where(S["cflag"] > 0, True,
-                              cneed & pos_ok & ~q_ok)
+            cflag = (S["cflag"] > 0) | (cneed & pos_ok & ~q_ok)
 
             ih = jnp.where(irem > 0, icur, INF)
             rh = jnp.where((rvok > 0) & (remr > 0), rvv, INF)
@@ -641,15 +782,13 @@ def build_kernel2(cfg: Cfg2):
             em = jnp.where(can, em + 1, em)
 
             # ---- side append --------------------------------------------
-            sregs2 = list(sregs)
+            sregs2 = list(sregs0)
             for j in range(8):
                 sregs2[j] = jnp.where(son & ((sp & 7) == j), sval, sregs2[j])
             sp = jnp.where(son, sp + 1, sp)
 
             # ---- node advance -------------------------------------------
-            adv = adv0 | (mrg & jnp.where(can, em == d, (em == d) & (d > 0)))
-            # (em==d & d>0) covers degenerate all-copied nodes finishing
-            # exactly on a prior sub-step; adv fires once since st leaves MRG
+            adv = adv0 | (mrg & (em == d) & (d > 0))
             loc = jnp.where(adv, S["loc"] + 1, S["loc"])
             nst = jnp.where(adv,
                             jnp.where(loc >= cntv, S_DONE, S_OUTD), nst)
@@ -666,117 +805,241 @@ def build_kernel2(cfg: Cfg2):
             sdump = jnp.where(adv, 0, sdump)
             rf = jnp.where(adv, 0, rf)
             cflag = cflag & ~adv
+            rflag = rflag & ~adv
+            iflag = iflag & ~adv
+
+            if _TRACE_LANE is not None:
+                li = lane_iota()
+
+                def scal(vec):
+                    return jnp.sum(jnp.where(li == _TRACE_LANE, vec, 0))
+
+                pl.debug_print(
+                    "st={} loc={} d={} rf={} dp={} em={} crem={} cp={} "
+                    "dr0={} dr1={} adv={} v={} rdy={} rescnt={}",
+                    scal(st), scal(loc), scal(d), scal(rf), scal(dp),
+                    scal(em), scal(crem), scal(cp), scal(drs[0]),
+                    scal(drs[1]), scal(adv.astype(I32)), scal(v),
+                    scal(ready.astype(I32)), scal(remr))
 
             out = dict(S)
             out.update(
                 w0=w0, w1=w1, w2=w2, avail=avail, nw=nw, st=nst, loc=loc,
-                gid=gid, d=d, rf=rf, dp=dp, pb=pb, bcleft=bcleft,
+                gid=gid, d=d, rf=rf, dp=dp, pb=pb_, bcleft=bcleft,
                 bctot=bctot, cum=cum, copied=copied, iarcs=iarcs, icnt=icnt,
                 il=il, lastleft=lastleft, ptop=ptop, firsti=firsti, sp=sp,
                 sdump=sdump, em=em, crem=crem, cp=cp, ri=ri, kst=kst,
                 ken=ken, kld=kld, iidx=iidx, ileft=ileft, icur=icur,
                 irem=irem, rv=rvv, rvlast=rvlast, rvok=rvok, remr=remr,
                 rdleft=rdleft, firstr=firstr, wp=wpv, ap=ap,
-                cflag=cflag.astype(I32))
+                rqb=rqb, rqn=rqn, iqb=iqb, iqn=iqn,
+                wflag=wflag.astype(I32), cflag=cflag.astype(I32),
+                rflag=rflag.astype(I32), iflag=iflag.astype(I32))
             for j in range(8):
                 out[f"a{j}"] = ab[j]
                 out[f"s{j}"] = sregs2[j]
             for j in range(7):
                 out[f"dr{j}"] = drs[j]
                 out[f"fb{j}"] = fbs[j]
+            for j in range(SQ):
+                out[f"rq{j}"] = rq2[j]
+                out[f"iq{j}"] = iq2[j]
             return out
 
         def trip(carry):
             S = unpack(carry[0])
             trips = carry[1]
+            # fetches are served on the FIRST sub-step of each trip and
+            # dumps/flushes on the LAST: flagged lanes stall at most U-1
+            # sub-steps, and lockstep "any lane needs it" amplification is
+            # bounded at one event per trip instead of one per sub-step
+            is_fs = (trips & (U - 1)) == 0
 
-            # ---- copy-queue fetch (flagged lanes, start of trip) --------
-            def do_fetch(args):
+            # ---- word-queue refill (flagged lanes) ----------------------
+            def do_wfetch(args):
+                qr, wqb = args
+                need = S["wflag"] > 0
+                base = jnp.where(need, S["nw"], wqb)
+                idx = jnp.clip(flat(base).T + iotaq(128), 0, LW - 1)
+                got = gather_chunks(words_ref, idx, LW)
+                newq = to_regs(got, WQ)
+                outq = tuple(jnp.where(need, newq[kq], qr[kq])
+                             for kq in range(WQ))
+                return outq, jnp.where(need, base, wqb)
+
+            qrw = tuple(S[f"wq{j}"] for j in range(WQ))
+            qrw, wqb = jax.lax.cond(
+                is_fs & (not (_P_NOFETCH or _P_NOW)) & (_any(S["wflag"]) > 0), do_wfetch,
+                lambda a: a, (qrw, S["wqb"]))
+            if cfg.debug_counters:
+                smem_ref[4] = smem_ref[4] + (
+                    is_fs & (_any(S["wflag"]) > 0)).astype(I32)
+            for j in range(WQ):
+                S[f"wq{j}"] = qrw[j]
+            S["wqb"] = wqb
+            S["wflag"] = jnp.where(is_fs, 0, S["wflag"])
+
+            # ---- side-queue refills (spilled nodes / long runs) ---------
+            def do_sfetch(args):
+                rq, iq, rqb, rqn, iqb, iqn = args
+                rneed = S["rflag"] > 0
+                ineed = S["iflag"] > 0
+                rbase = jnp.where(rneed, jnp.maximum(S["ri"] - 1, 0), rqb)
+                ibase = jnp.where(ineed, S["iidx"], iqb)
+                newr = sideq_read(S, rbase)
+                newi = sideq_read(S, ibase)
+                rq = tuple(jnp.where(rneed, newr[kq], rq[kq])
+                           for kq in range(SQ))
+                iq = tuple(jnp.where(ineed, newi[kq], iq[kq])
+                           for kq in range(SQ))
+                rqn = jnp.where(rneed, SQ, rqn)
+                iqn = jnp.where(ineed, SQ, iqn)
+                return rq, iq, rbase, rqn, ibase, iqn
+
+            qrr = tuple(S[f"rq{j}"] for j in range(SQ))
+            qri = tuple(S[f"iq{j}"] for j in range(SQ))
+            qrr, qri, rqb, rqn, iqb, iqn = jax.lax.cond(
+                is_fs & (not (_P_NOFETCH or _P_NOS))
+                & ((_any(S["rflag"]) > 0) | (_any(S["iflag"]) > 0)),
+                do_sfetch,
+                lambda a: a,
+                (qrr, qri, S["rqb"], S["rqn"], S["iqb"], S["iqn"]))
+            if cfg.debug_counters:
+                smem_ref[5] = smem_ref[5] + (
+                    is_fs & ((_any(S["rflag"]) > 0)
+                             | (_any(S["iflag"]) > 0))).astype(I32)
+            for j in range(SQ):
+                S[f"rq{j}"] = qrr[j]
+                S[f"iq{j}"] = qri[j]
+            S["rqb"], S["rqn"], S["iqb"], S["iqn"] = rqb, rqn, iqb, iqn
+            S["rflag"] = jnp.where(is_fs, 0, S["rflag"])
+            S["iflag"] = jnp.where(is_fs, 0, S["iflag"])
+
+            # ---- copy-queue fetch ---------------------------------------
+            def do_cfetch(args):
                 qr, cqb, cqlim = args
                 need = S["cflag"] > 0
                 base = jnp.where(need, S["pb"] + S["cp"], cqb)
                 bT = flat(base).T
-                idxQ = bT + jax.lax.broadcasted_iota(I32, (LANES, QD), 1)
-                # midT holds entries [wb - 248, wp): the current 8-group's
-                # write-through cols alias (and corrupt) the oldest 8
+                idxQ = jnp.clip(bT + iotaq(128), 0, INF)
+                # three sources by recency:
+                #   midT  — entries [wb - 248, wp) (the current 8-group's
+                #           write-through cols alias the oldest 8)
+                #   ring  — the last 8 flushed 128-blocks,
+                #           [(flp - 8) * 128, flp * 128)
+                #   slab  — anything older (rare; ~0.7% of copied arcs on
+                #           cnr-2000 reach past the ring)
                 wbT = flat(S["wb"]).T
                 use_mid = idxQ >= (wbT - 248)
-                midv = own_read(midt_ref, jnp.clip(idxQ, 0, INF) & 255, 256)
-                slabv = own_read(slab_ref, jnp.clip(idxQ, 0, SLABW - 1),
-                                 SLABW)
-                newq = jnp.where(use_mid, midv, slabv)
-                needT = flat(S["cflag"]).T > 0
-                outq = []
-                for kq in range(QD):
-                    col = unflat(newq[:, kq : kq + 1].reshape(1, LANES))
-                    outq.append(jnp.where(need, col, qr[kq]))
+                rloT = flat((S["flp"] - 8) * 128).T
+                use_ring = ~use_mid & (idxQ >= rloT)
+                midv = gather_chunks(midt_ref, idxQ & 255, 256)
+                ringv = gather_chunks(ring_ref, idxQ & 1023, 1024)
+
+                def far(_):
+                    # sequential 128-chunk walk with per-chunk skip (an
+                    # unrolled 58-chunk gather chain exhausts scoped VMEM;
+                    # only a handful of chunks are hit per event)
+                    idxF = jnp.clip(idxQ, 0, SLABW - 1)
+                    needF = needT & ~use_mid & ~use_ring
+
+                    def body(c, acc):
+                        inc = (idxF >> 7) == c
+                        hit = _any((needF & inc).astype(I32))
+
+                        def take(a):
+                            sl = slab_ref[:, pl.ds(c * 128, 128)]
+                            g = jnp.take_along_axis(
+                                sl, jnp.clip(idxF - c * 128, 0, 127), axis=1)
+                            return jnp.where(inc, g, a)
+
+                        return jax.lax.cond(hit > 0, take, lambda a: a, acc)
+
+                    return jax.lax.fori_loop(0, SLABW // 128, body, midv)
+
+                needT = flat(need.astype(I32)).T > 0
+                any_far = _any(needT & ~use_mid & ~use_ring) > 0
+                # the no-far branch returns midv (concrete layout — a zero
+                # splat's replicated layout cannot join the gather branch);
+                # its value is unused because mid/ring cover every slot then
+                if _P_NOFAR:
+                    slabv = midv
+                else:
+                    slabv = jax.lax.cond(any_far, far, lambda _: midv, 0)
+                newq = to_regs(jnp.where(
+                    use_mid, midv, jnp.where(use_ring, ringv, slabv)), CQ)
+                outq = tuple(jnp.where(need, newq[kq], qr[kq])
+                             for kq in range(CQ))
                 ncqb = jnp.where(need, base, cqb)
                 ncql = jnp.where(need, S["rdlim"], cqlim)
-                return tuple(outq), ncqb, ncql
+                return outq, ncqb, ncql
 
-            qrows = tuple(S[f"q{j}"] for j in range(QD))
-            qrows, cqb, cqlim = jax.lax.cond(
-                _any(S["cflag"]) > 0, do_fetch,
-                lambda a: a, (qrows, S["cqb"], S["cqlim"]))
-            for j in range(QD):
-                S[f"q{j}"] = qrows[j]
+            qrc = tuple(S[f"cq{j}"] for j in range(CQ))
+            qrc, cqb, cqlim = jax.lax.cond(
+                is_fs & (not (_P_NOFETCH or _P_NOC)) & (_any(S["cflag"]) > 0), do_cfetch,
+                lambda a: a, (qrc, S["cqb"], S["cqlim"]))
+            if cfg.debug_counters:
+                smem_ref[3] = smem_ref[3] + (
+                    is_fs & (_any(S["cflag"]) > 0)).astype(I32)
+            for j in range(CQ):
+                S[f"cq{j}"] = qrc[j]
             S["cqb"] = cqb
             S["cqlim"] = cqlim
-            S["cflag"] = jnp.zeros((GROUPS, GLANES), I32)
+            S["cflag"] = jnp.where(is_fs, 0, S["cflag"])
 
-            # ---- sub-steps ----------------------------------------------
-            for _ in range(U):
-                S = substep(S)
+            # ---- ONE sub-step (the loop runs at sub-step granularity so
+            # the compiled body stays small; every U-th iteration performs
+            # the trip-end write-through/roll) -----------------------------
+            S = substep(S)
+            is_te = (trips & (U - 1)) == (U - 1)
 
             # ---- write-through ab -> midT (and roll full buffers) -------
-            abM = jnp.concatenate([flat(S[f"a{j}"]) for j in range(8)], 0)
-            abT = abM.T  # (1024, 8)
-            pos8 = flat((S["wb"] >> 3) & 31).T
-            for p in range(32):
-                cur = midt_ref[:, 8 * p : 8 * p + 8]
-                selp = pos8 == p
-                midt_ref[:, 8 * p : 8 * p + 8] = jnp.where(selp, abT, cur)
-            full = S["ap"] == 8
+            @pl.when(is_te & (not _P_NOTE))
+            def _():
+                abM = jnp.concatenate([flat(S[f"a{j}"]) for j in range(8)], 0)
+                abT = abM.T  # (1024, 8)
+                pos8 = flat((S["wb"] >> 3) & 31).T
+                tile, mask = place8(abT, pos8, 256)
+                midt_ref[:, :] = jnp.where(mask, tile, midt_ref[:, :])
+            full = is_te & (S["ap"] == 8)
             S["wb"] = jnp.where(full, S["wb"] + 8, S["wb"])
             S["ap"] = jnp.where(full, 0, S["ap"])
-            S["rdlim"] = S["wp"]
+            S["rdlim"] = jnp.where(is_te, S["wp"], S["rdlim"])
 
-            # ---- side dump (full 8-groups -> sidebuf) -------------------
-            sfull = (S["sp"] - S["sdump"]) == 8
+            # ---- side dump (full 8-groups -> sidebuf, trip end only) ----
+            sfull = is_te & ((S["sp"] - S["sdump"]) == 8)
 
-            @pl.when(_any(sfull) > 0)
+            @pl.when((_any(sfull.astype(I32)) > 0) & (not _P_NOTE))
             def _():
                 sM = jnp.concatenate([flat(S[f"s{j}"]) for j in range(8)], 0)
                 sT = sM.T
                 posS = flat(S["sdump"] >> 3).T
-                sfT = flat(sfull).T
-                for p in range(SB // 8):
-                    cur = side_ref[:, 8 * p : 8 * p + 8]
-                    selp = sfT & (posS == p)
-                    side_ref[:, 8 * p : 8 * p + 8] = jnp.where(selp, sT, cur)
+                sfT = flat(sfull.astype(I32)).T > 0
+                tile, mask = place8(sT, posS, SB)
+                side_ref[:, :] = jnp.where(sfT & mask, tile, side_ref[:, :])
 
             S["sdump"] = jnp.where(sfull, S["sdump"] + 8, S["sdump"])
 
-            # ---- flush completed 128-blocks midT -> slab ----------------
-            pnd = (S["wb"] >> 7) > S["flp"]
+            # ---- flush completed 128-blocks midT -> slab (trip end) -----
+            pnd = is_te & ((S["wb"] >> 7) > S["flp"])
             bmin = jnp.min(jnp.where(pnd, S["flp"], INF))
             flpv = S["flp"]
-            fl_sel = []
-            for j in range(2):
-                fl_sel.append(pnd & (flpv == bmin + j))
+            fl_sel = [pnd & (flpv == bmin + j) for j in range(2)]
 
-            @pl.when(_any(pnd) > 0)
+            @pl.when((_any(pnd) > 0) & (not _P_NOTE))
             def _():
                 lo = midt_ref[:, 0:128]
                 hi = midt_ref[:, 128:256]
                 for j in range(2):
-                    B = bmin + j
+                    B = jnp.clip(bmin + j, 0, SLABW // 128 - 1)
                     src = jnp.where((B & 1) == 1, hi, lo)
-                    selT = flat(fl_sel[j]).T
-                    cur = slab_ref[:, pl.ds(jnp.clip(B, 0, SLABW // 128 - 1)
-                                            * 128, 128)]
-                    slab_ref[:, pl.ds(jnp.clip(B, 0, SLABW // 128 - 1) * 128,
-                                      128)] = jnp.where(selT, src, cur)
+                    selT = flat(fl_sel[j].astype(I32)).T > 0
+                    cur = slab_ref[:, pl.ds(B * 128, 128)]
+                    slab_ref[:, pl.ds(B * 128, 128)] = jnp.where(
+                        selT, src, cur)
+                    rc = (B & 7) * 128
+                    curR = ring_ref[:, pl.ds(rc, 128)]
+                    ring_ref[:, pl.ds(rc, 128)] = jnp.where(selT, src, curR)
 
             for j in range(2):
                 S["flp"] = jnp.where(fl_sel[j], S["flp"] + 1, S["flp"])
@@ -785,14 +1048,13 @@ def build_kernel2(cfg: Cfg2):
                 smem_ref[0] = smem_ref[0] + 1
                 smem_ref[1] = smem_ref[1] + _any(sfull)
                 smem_ref[2] = smem_ref[2] + _any(pnd)
-                smem_ref[3] = smem_ref[3] + _any(S["cflag"])
 
             return (tuple(S[f] for f in _FIELDS), trips + 1)
 
         def cond(carry):
             S = unpack(carry[0])
             running = _any(S["st"] != S_DONE) > 0
-            return running & (carry[1] < cfg.trip_cap)
+            return running & (carry[1] < cfg.trip_cap * U)
 
         if cfg.debug_counters:
             for i in range(8):
@@ -805,10 +1067,8 @@ def build_kernel2(cfg: Cfg2):
         abM = jnp.concatenate([flat(S[f"a{j}"]) for j in range(8)], 0)
         abT = abM.T
         pos8 = flat((S["wb"] >> 3) & 31).T
-        for p in range(32):
-            cur = midt_ref[:, 8 * p : 8 * p + 8]
-            selp = pos8 == p
-            midt_ref[:, 8 * p : 8 * p + 8] = jnp.where(selp, abT, cur)
+        tile, mask = place8(abT, pos8, 256)
+        midt_ref[:, :] = jnp.where(mask, tile, midt_ref[:, :])
         lo = midt_ref[:, 0:128]
         hi = midt_ref[:, 128:256]
         wpT = flat(S["wp"]).T
@@ -820,6 +1080,9 @@ def build_kernel2(cfg: Cfg2):
             slab_ref[:, B * 128 : (B + 1) * 128] = jnp.where(sel, src, cur)
 
         wp_ref[:] = S["wp"]
+        # final machine state per lane (stall diagnosis; cheap: 128 KB)
+        for i, nm in enumerate(_DUMP_FIELDS):
+            dump_ref[i] = S[nm]
         if cfg.debug_counters:
             li = lane_iota()
             dv = jnp.zeros((GROUPS, GLANES), I32)
@@ -846,6 +1109,7 @@ def _compiled2(cfg: Cfg2, interpret: bool):
             jax.ShapeDtypeStruct((LANES, cfg.slabw), I32),   # slab
             jax.ShapeDtypeStruct((GROUPS, GLANES), I32),     # wp
             jax.ShapeDtypeStruct((GROUPS, GLANES), I32),     # dbg
+            jax.ShapeDtypeStruct((32, GROUPS, GLANES), I32),  # state dump
         ],
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),           # meta
@@ -855,9 +1119,11 @@ def _compiled2(cfg: Cfg2, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((LANES, 256), I32),                   # midT
+            pltpu.VMEM((LANES, 1024), I32),                  # ring
             pltpu.VMEM((LANES, cfg.sb), I32),                # sidebuf
             pltpu.SMEM((8,), I32),                           # counters
         ],
@@ -916,8 +1182,9 @@ def decode_to_slab(g, *, interpret: bool | None = None,
     cfg, plan, meta, words = prepare2(
         g, slab_cap=slab_cap, debug_counters=debug_counters)
     fn = _compiled2(cfg, bool(interpret))
-    slab, wp, dbg = fn(jnp.asarray(meta), jnp.asarray(words))
-    return plan, np.asarray(slab), np.asarray(wp).reshape(-1), np.asarray(dbg)
+    slab, wp, dbg, dump = fn(jnp.asarray(meta), jnp.asarray(words))
+    return plan, np.asarray(slab), np.asarray(wp).reshape(-1), (
+        np.asarray(dbg), np.asarray(dump))
 
 
 def decode_to_csr(g, *, interpret: bool | None = None,

@@ -1,0 +1,144 @@
+"""Batched random access through the streaming (v6) decoder.
+
+``successors(x)`` in the reference positions a bit stream at
+``offsets.getLong(x)`` and lazily resolves the reference chain by recursive
+random access (BVGraph.java:853-888, 1032-1133).  The TPU formulation
+decodes, for a BATCH of query nodes, each query's ancestor-closure range
+``[min_ancestor(x), x]`` (at most ``window * chain_depth`` + 1 consecutive
+nodes, 22 on cnr-2000) — one query per lane, all lanes independent — with
+the SAME streaming kernel used for bulk decode (pallas/decode2.py): only
+the lane plan differs.  One kernel invocation answers up to 1024 queries
+with zero host round trips.
+
+Static shapes are bucketed (lane-words / slab width rounded up to powers of
+two) so repeated batches reuse one compilation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from webgraph_tpu.pallas import decode2 as D2
+from webgraph_tpu.pallas.plan import scan_structure
+
+LANES = D2.LANES
+
+
+def _bucket(v: int, lo: int) -> int:
+    out = lo
+    while out < v:
+        out *= 2
+    return out
+
+
+class QueryPlanner:
+    """Per-graph state for batched random access (host scan cached once —
+    the analog of the reference's offset/outdegree load-time caches)."""
+
+    def __init__(self, g):
+        self.g = g
+        self.scan = scan_structure(g)
+        n = g.num_nodes()
+        d = self.scan.d.astype(np.int64)
+        ref = self.scan.ref.astype(np.int64)
+        parent = np.where(ref > 0, np.arange(n) - ref, np.arange(n))
+        minanc = np.arange(n)
+        cur = parent.copy()
+        for _ in range(int(self.scan.depth.max(initial=0)) + 1):
+            minanc = np.minimum(minanc, cur)
+            cur = parent[cur]
+        self.minanc = minanc
+        self.d = d
+        self.csr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(d, out=self.csr[1:])
+        self.bo = g.bit_offsets.astype(np.int64)
+        self.w32 = D2._u32_words(g)
+        # static bucket sizes covering ANY query batch on this graph
+        span_nodes = np.arange(n) - minanc + 1
+        span_words = ((self.bo[np.arange(n) + 1] + 31) >> 5) - (
+            self.bo[minanc] >> 5)
+        span_arcs = self.csr[np.arange(n) + 1] - self.csr[minanc]
+        self.lw = _bucket(int(span_words.max(initial=1)) + 2, 128)
+        self.slabw = _bucket(max(256, int(span_arcs.max(initial=1))), 256)
+        bc = self.scan.block_count.astype(np.int64)
+        ic = self.scan.int_count.astype(np.int64)
+        sb = int((bc + 2 * ic).max(initial=0))
+        self.sb = _bucket(max(128, sb + 8), 128)
+        wcost = (span_nodes * 4 + span_arcs * 2).max(initial=1)
+        self.max_steps = int(wcost)
+
+    def plan(self, nodes: np.ndarray) -> tuple:
+        """Build (cfg, meta, words_lane, row_off, counts) for one batch of
+        up to LANES query nodes."""
+        nodes = np.asarray(nodes, dtype=np.int64)
+        q = len(nodes)
+        assert q <= LANES, "one batch answers at most 1024 queries"
+        gid0 = np.zeros(LANES, dtype=np.int64)
+        cnt = np.zeros(LANES, dtype=np.int64)
+        gid0[:q] = self.minanc[nodes]
+        cnt[:q] = nodes - gid0[:q] + 1
+
+        word0 = self.bo[gid0] >> 5
+        bit0 = self.bo[gid0] - (word0 << 5)
+        d7 = np.zeros((7, LANES), dtype=np.int64)
+        for j in range(7):
+            idx = gid0 - 1 - j
+            ok = (idx >= 0) & (cnt > 0)
+            d7[j, ok] = self.d[idx[ok]]
+
+        meta = np.zeros((16, D2.GROUPS, D2.GLANES), dtype=np.int32)
+        meta[0] = gid0.reshape(D2.GROUPS, D2.GLANES)
+        meta[1] = cnt.reshape(D2.GROUPS, D2.GLANES)
+        meta[2] = bit0.reshape(D2.GROUPS, D2.GLANES)
+        for j in range(7):
+            meta[3 + j] = d7[j].reshape(D2.GROUPS, D2.GLANES)
+
+        words_lane = np.zeros((LANES, self.lw), dtype=np.uint32)
+        for l in range(q):
+            a = int(word0[l])
+            b = min(a + self.lw, len(self.w32))
+            if b > a:
+                words_lane[l, : b - a] = self.w32[a:b]
+
+        cfg = D2.Cfg2(
+            skey=(
+                self.g.settings.outdegree_coding,
+                self.g.settings.reference_coding,
+                self.g.settings.block_count_coding,
+                self.g.settings.block_coding,
+                self.g.settings.residual_coding,
+                self.g.settings.zeta_k,
+                self.g.settings.window_size,
+                self.g.settings.min_interval_length,
+            ),
+            lw=self.lw,
+            slabw=self.slabw,
+            sb=self.sb,
+            need_bits=min(
+                64,
+                2 * max(int(max(self.g.num_nodes(), 2)).bit_length() + 1, 2)
+                + 1),
+            trip_cap=4 * (self.max_steps // 8 + 1) + 2048,
+        )
+        row_off = (self.csr[nodes] - self.csr[gid0[:q]]).astype(np.int64)
+        counts = self.d[nodes].astype(np.int64)
+        return cfg, meta, words_lane.view(np.int32), row_off, counts
+
+    def successors_batch(self, nodes, *, interpret: bool | None = None):
+        """Decode the successor lists of up to 1024 nodes in one kernel
+        call.  Returns (padded int32[q, maxd], counts int64[q])."""
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        nodes = np.asarray(nodes, dtype=np.int64)
+        cfg, meta, words, row_off, counts = self.plan(nodes)
+        fn = D2._compiled2(cfg, bool(interpret))
+        slab, wp, _, _dump = fn(jnp.asarray(meta), jnp.asarray(words))
+        slab = np.asarray(slab)
+        q = len(nodes)
+        maxd = int(counts.max(initial=1))
+        out = np.zeros((q, maxd), dtype=np.int32)
+        for i in range(q):
+            out[i, : counts[i]] = slab[i, row_off[i] : row_off[i] + counts[i]]
+        return out, counts
