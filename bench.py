@@ -4,18 +4,19 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: steady-state full-graph decode of cnr-2000 (bitstream + offsets in
-device HBM -> CSR successor arrays in device HBM) by the in-kernel
-Pallas/Mosaic decoder, edges/second.
+Metric: steady-state full-graph decode of cnr-2000 (bitstream in device
+memory -> per-lane successor slab + exact row pointers) by the v6
+streaming lane-range Pallas decoder (pallas/decode2.py), edges/second.
 
 Verification is UNCONDITIONAL: the host oracle (formats/bvgraph_np, itself
 tested bit-exact against the Java-documented format) decodes the graph
 first (cached across runs), and every timed repetition folds a
-position-weighted, salted checksum of the decoded successors + CSR offsets
-in-program; the fetched scalar must equal the oracle's.  This both forces
-completion on the fully-asynchronous axon backend (block_until_ready does
-not wait) and proves each rep was a distinct, correct execution.  The
-~25 ms dispatch+fetch round trip is measured separately and subtracted.
+position-weighted, salted checksum of the decoded successors in-program
+over exactly the real (non-padding) slab slots; the fetched scalar must
+equal the oracle's.  This both forces completion on the fully-asynchronous
+axon backend (block_until_ready does not wait) and proves each rep was a
+distinct, correct execution.  The ~25 ms dispatch+fetch round trip is
+measured separately and subtracted.
 
 Baseline: the reference Java BVGraph sequential scan on one CPU core.  The
 reference repo publishes no numbers (BASELINE.md); we anchor on the commonly
@@ -58,49 +59,39 @@ def main():
     import jax.numpy as jnp
 
     from webgraph_tpu.formats.bvgraph import BVGraph
-    from webgraph_tpu.pallas import decode as D
+    from webgraph_tpu.pallas import decode2 as D2
 
     bv = BVGraph.load(CNR)
     toff, tsucc = truth_arrays(bv)
 
-    cfg, plan, meta, offs, words = D.prepare(bv)
+    cfg, plan, meta, words = D2.prepare2(bv)
     n, m = plan.n, plan.m
-    pallas_fn = D._compiled(cfg, jax.default_backend() == "cpu")
+    pallas_fn = D2._compiled2(cfg, jax.default_backend() == "cpu")
 
-    # host-built per-lane offset weights (0 for invalid lanes)
-    nb = plan.num_blocks
-    wo = np.zeros((max(nb, 1), D.LANES), dtype=np.uint32)
-    for t in range(nb):
-        a, c = int(plan.node_start[t]), int(plan.node_count[t])
-        ids = np.arange(a, a + c, dtype=np.uint64)
-        wo[t, :c] = ((ids * MULT + 7) & 0xFFFFFFFF).astype(np.uint32)
+    # position-weighted checksum over exactly the real slab slots
+    w = np.zeros((D2.LANES, cfg.slabw), dtype=np.uint32)
+    d = np.diff(toff).astype(np.int64)
+    gpos = np.arange(m, dtype=np.uint64)
+    wv = ((gpos * MULT + 1) & 0xFFFFFFFF).astype(np.uint32)
+    take = np.repeat(plan.prow[:n], d) + (
+        gpos.astype(np.int64) - np.repeat(toff[:n], d))
+    w.reshape(-1)[take] = wv
+    expect = int((tsucc.astype(np.uint64) * wv.astype(np.uint64)).sum()
+                 & 0xFFFFFFFF)
 
     @jax.jit
-    def fn(meta, offs, words, wo, salt):
-        offs_out, succ = pallas_fn(meta, offs, words)
-        s = succ.reshape(-1).astype(jnp.uint32)
-        i = jnp.arange(s.shape[0], dtype=jnp.uint32)
-        chk1 = jnp.sum(
-            jnp.where(i < m, s * (i * jnp.uint32(MULT) + 1), jnp.uint32(0)),
-            dtype=jnp.uint32,
-        )
-        oo = offs_out.reshape(offs_out.shape[0], -1).astype(jnp.uint32)
-        chk2 = jnp.sum(oo * wo, dtype=jnp.uint32)
-        return chk1 + chk2 + salt
+    def fn(meta, words, w, salt):
+        slab, wp, dbg, dump = pallas_fn(meta, words)
+        chk = jnp.sum(slab.astype(jnp.uint32) * w, dtype=jnp.uint32)
+        return chk + salt, wp
 
-    # expected checksum from the oracle arrays (order-sensitive)
-    i = np.arange(m, dtype=np.uint64)
-    w = ((i * MULT + 1) & 0xFFFFFFFF).astype(np.uint64)
-    chk1 = int((tsucc.astype(np.uint64) * w).sum() & 0xFFFFFFFF)
-    nodes = np.arange(n, dtype=np.uint64)
-    won = ((nodes * MULT + 7) & 0xFFFFFFFF).astype(np.uint64)
-    chk2 = int((toff[:n].astype(np.uint64) * won).sum() & 0xFFFFFFFF)
-    expect = (chk1 + chk2) & 0xFFFFFFFF
-
-    meta, offs, words, wo = (jnp.asarray(a) for a in (meta, offs, words, wo))
+    meta_j, words_j, w_j = (jnp.asarray(a) for a in (meta, words, w))
 
     # warm-up / compile + UNCONDITIONAL truth check
-    s0 = int(np.uint32(fn(meta, offs, words, wo, jnp.uint32(0))))
+    s0, wp = fn(meta_j, words_j, w_j, jnp.uint32(0))
+    s0 = int(np.uint32(s0))
+    assert np.array_equal(np.asarray(wp).reshape(-1), plan.exp_wp), \
+        "lane emission counts disagree with the plan"
     assert s0 == expect, f"decode checksum mismatch: {s0} vs {expect}"
 
     # dispatch+fetch overhead
@@ -115,7 +106,8 @@ def main():
     best = float("inf")
     for rep in range(1, reps + 1):
         t0 = time.perf_counter()
-        s = int(np.uint32(fn(meta, offs, words, wo, jnp.uint32(rep))))
+        s, _ = fn(meta_j, words_j, w_j, jnp.uint32(rep))
+        s = int(np.uint32(s))
         dt = time.perf_counter() - t0
         best = min(best, dt)
         assert s == (expect + rep) % (1 << 32), "salted checksum mismatch"
@@ -126,7 +118,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "cnr-2000 full decode throughput (in-kernel Pallas, verified vs oracle)",
+                "metric": "cnr-2000 full decode throughput (streaming lane-range Pallas kernel, verified vs oracle)",
                 "value": round(edges_per_sec / 1e6, 2),
                 "unit": "Medges/s",
                 "vs_baseline": round(edges_per_sec / JAVA_SINGLE_CORE_EDGES_PER_SEC, 4),

@@ -1,0 +1,73 @@
+"""Device-resident analytics (algo/device.py) vs host oracles.
+
+Reference anchors: ParallelBreadthFirstVisit.java:79,149-181 (level-
+synchronous frontier BFS), NeighbourhoodFunction.java:100,118 (exact NF by
+parallel sweeps; here 64-source bit-parallel masks).
+"""
+
+import numpy as np
+import pytest
+
+from webgraph_tpu.graph.builders import MutableGraph
+
+jax = pytest.importorskip("jax")
+
+from webgraph_tpu.algo.device import (  # noqa: E402
+    DeviceCSR, bfs_distances, eccentricity, nf64)
+
+
+def _bfs_host(n, off, succ, src):
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[src] = 0
+    q = [src]
+    while q:
+        nq = []
+        for u in q:
+            for v in succ[off[u]:off[u + 1]]:
+                if dist[v] < 0:
+                    dist[v] = dist[u] + 1
+                    nq.append(v)
+        q = nq
+    return dist
+
+
+@pytest.fixture(scope="module")
+def graph():
+    g = MutableGraph.erdos_renyi(300, 0.02, seed=3)
+    off, succ = g.to_csr()
+    return g, off, succ, DeviceCSR.from_graph(g)
+
+
+def test_device_bfs_matches_host(graph):
+    g, off, succ, csr = graph
+    for s in (0, 17, 123, 299):
+        got = np.asarray(bfs_distances(csr, s))
+        np.testing.assert_array_equal(got, _bfs_host(g.num_nodes(), off, succ, s))
+
+
+def test_device_bfs_multisource(graph):
+    g, off, succ, csr = graph
+    srcs = [4, 200]
+    got = np.asarray(bfs_distances(csr, srcs))
+    a = _bfs_host(g.num_nodes(), off, succ, 4)
+    b = _bfs_host(g.num_nodes(), off, succ, 200)
+    exp = np.where(a < 0, b, np.where(b < 0, a, np.minimum(a, b)))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_device_nf64_matches_host(graph):
+    g, off, succ, csr = graph
+    counts, _masks, it = nf64(csr, np.arange(64))
+    it = int(it)
+    host = np.zeros(it + 1, dtype=np.int64)
+    for s in range(64):
+        d = _bfs_host(g.num_nodes(), off, succ, s)
+        for t in range(it + 1):
+            host[t] += int(((d >= 0) & (d <= t)).sum())
+    np.testing.assert_array_equal(np.asarray(counts)[: it + 1], host)
+
+
+def test_device_eccentricity(graph):
+    g, off, succ, csr = graph
+    d = _bfs_host(g.num_nodes(), off, succ, 0)
+    assert eccentricity(csr, 0) == int(d.max())

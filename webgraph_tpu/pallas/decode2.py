@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import functools
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dataclass_replace
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,7 @@ _P_NOFAR = bool(os.environ.get("D2_NOFAR"))
 _P_NOW = bool(os.environ.get("D2_NOW"))
 _P_NOS = bool(os.environ.get("D2_NOS"))
 _P_NOC = bool(os.environ.get("D2_NOC"))
+_P_BODY = int(os.environ.get("D2_BODY", "9"))  # body bisection stage
 
 
 # ----------------------------------------------------------------------
@@ -260,7 +261,8 @@ class Cfg2:
     sb: int                # side buffer width (multiple of 128)
     need_bits: int         # window bits required before decoding any code
     trip_cap: int          # hard trip bound (hang safety)
-    unroll: int = 8
+    unroll: int = 32
+    uin: int = 1           # python-unrolled sub-steps per fori iteration
     debug_counters: bool = False
 
 
@@ -269,10 +271,11 @@ def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False) -> Cfg2:
     n = plan.n
     vbits = max(int(max(n, 2)).bit_length() + 1, 2)
     need = min(64, 2 * vbits + 1)
-    U = 8
-    cap = 4 * (plan.max_steps // U + 1) + 4096
+    U = 32
+    cap = 4 * (plan.max_steps // U + 1) + 1024
     if _P_CAP:
         cap = _P_CAP
+    uin = int(os.environ.get("D2_UIN", "8"))
     return Cfg2(
         skey=(
             s.outdegree_coding,
@@ -290,6 +293,7 @@ def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False) -> Cfg2:
         need_bits=need,
         trip_cap=cap,
         unroll=U,
+        uin=uin,
         debug_counters=debug_counters,
     )
 
@@ -351,6 +355,16 @@ def to_regs(mat, q: int):
     return [t[k : k + 1, :].reshape(GROUPS, GLANES) for k in range(q)]
 
 
+def stage_read(stage_ref, idx):
+    """stage[l, idx_l] per lane from a (1024, 128) VMEM stage: broadcast
+    the per-lane index to full width (Mosaic's gather needs idx.shape ==
+    src.shape), gather, and take column 0."""
+    idxT = jnp.clip(flat(idx).T, 0, 127)
+    idxB = jnp.broadcast_to(idxT, (LANES, 128))
+    g = jnp.take_along_axis(stage_ref[:, :], idxB, axis=1)
+    return g[:, :1].T.reshape(GROUPS, GLANES)
+
+
 def ring_sel(rows, idx):
     """rows[idx_l] per lane over a 7-entry ring (idx clipped to [0, 6])."""
     i = jnp.clip(idx, 0, 6)
@@ -409,7 +423,7 @@ def win_drop(w0, w1, w2, avail, length, on):
 # ----------------------------------------------------------------------
 
 WQ = 32   # word-queue depth (registers)
-CQ = 32   # copy-queue depth
+CQ = 32   # copy-queue depth (registers)
 SQ = 8    # run-boundary / interval-pair queue depth
 
 # loop-carry field names, in order (all (8,128) int32 unless noted)
@@ -507,7 +521,9 @@ def build_kernel2(cfg: Cfg2):
             w_ok = (widx >= 0) & (widx < WQ)
             app_need = alive & (S["avail"] < NEED) & (S["avail"] <= 64)
             app = app_need & w_ok
-            wflag = (S["wflag"] > 0) | (app_need & ~w_ok)
+            # refill BEFORE exhaustion (the fetch lands at the next trip
+            # boundary, so a wide margin hides the latency entirely)
+            wflag = (S["wflag"] > 0) | (alive & (widx >= WQ - 10))
             word = sel_row([S[f"wq{j}"] for j in range(WQ)],
                            jnp.clip(widx, 0, WQ - 1))
             w0, w1, w2, avail, nw = win_append(
@@ -537,6 +553,12 @@ def build_kernel2(cfg: Cfg2):
                 ln = jnp.where(m, rl_, ln)
             w0, w1, w2, avail = win_drop(w0, w1, w2, avail, ln, ready)
 
+            if _P_BODY < 2:
+                out = dict(S)
+                out.update(w0=w0, w1=w1, w2=w2, avail=avail, nw=nw,
+                           wflag=wflag.astype(I32),
+                           st=jnp.where(ready, (st + v) & 7, st))
+                return out
             # ---- side queues: run-boundary pairs + interval pairs -------
             ri, kld, bctot, dp = S["ri"], S["kld"], S["bctot"], S["dp"]
             rqrows = [S[f"rq{j}"] for j in range(SQ)]
@@ -580,6 +602,14 @@ def build_kernel2(cfg: Cfg2):
             ileft = jnp.where(pb_on, S["ileft"] - 1, S["ileft"])
             iflag = (S["iflag"] > 0) | (pb_need & ~pb_ok)
 
+            if _P_BODY < 3:
+                out = dict(S)
+                out.update(w0=w0, w1=w1, w2=w2, avail=avail, nw=nw,
+                           kst=kst, ken=ken, kld=kld, icur=icur, irem=irem,
+                           iidx=iidx, ileft=ileft,
+                           wflag=wflag.astype(I32),
+                           st=jnp.where(ready, (st + v) & 7, st))
+                return out
             # ---- state transitions --------------------------------------
             d, rf, pb_ = S["d"], S["rf"], S["pb"]
             bcleft, cum, copied = S["bcleft"], S["cum"], S["copied"]
@@ -619,6 +649,9 @@ def build_kernel2(cfg: Cfg2):
                 pb_ = jnp.where(hasr, ring_sel(fregs, v - 1), pb_)
                 nst = jnp.where(hasr, S_BC, nst)
                 go_extras = go_extras | (t_ref & (v == 0))
+                # prefetch the copy queue: the trip-boundary fetch runs
+                # while this lane still parses blocks/intervals
+                cp = jnp.where(hasr, 0, cp)
 
             # BC
             t_bc = ready & (st == S_BC)
@@ -728,6 +761,19 @@ def build_kernel2(cfg: Cfg2):
             rvok = jnp.where(t_res, 1, rvok)
             rdleft = jnp.where(t_res, rdleft - 1, rdleft)
 
+            if _P_BODY < 4:
+                out = dict(S)
+                out.update(
+                    w0=w0, w1=w1, w2=w2, avail=avail, nw=nw, st=nst, d=d,
+                    rf=rf, dp=dp, pb=pb_, bcleft=bcleft, bctot=bctot,
+                    cum=cum, copied=copied, iarcs=iarcs, icnt=icnt, il=il,
+                    lastleft=lastleft, ptop=ptop, firsti=firsti, sp=sp,
+                    em=em, crem=crem, cp=cp, ri=ri, kst=kst, ken=ken,
+                    kld=kld, iidx=iidx, ileft=ileft, icur=icur, irem=irem,
+                    rv=rvv, rvlast=rvlast, rvok=rvok, remr=remr,
+                    rdleft=rdleft, firstr=firstr,
+                    wflag=wflag.astype(I32))
+                return out
             # ---- merge emission -----------------------------------------
             mrg = in_mrg
             radv = mrg & (kld == 1) & (S["crem"] > 0) & (cp >= ken)
@@ -750,6 +796,8 @@ def build_kernel2(cfg: Cfg2):
                                    jnp.clip(cqi - S["cqb"], 0, CQ - 1)),
                            INF)
             cflag = (S["cflag"] > 0) | (cneed & pos_ok & ~q_ok)
+            if window > 0:
+                cflag = cflag | (ready & (st == S_REF) & (v > 0))
 
             ih = jnp.where(irem > 0, icur, INF)
             rh = jnp.where((rvok > 0) & (remr > 0), rvv, INF)
@@ -853,7 +901,6 @@ def build_kernel2(cfg: Cfg2):
             # dumps/flushes on the LAST: flagged lanes stall at most U-1
             # sub-steps, and lockstep "any lane needs it" amplification is
             # bounded at one event per trip instead of one per sub-step
-            is_fs = (trips & (U - 1)) == 0
 
             # ---- word-queue refill (flagged lanes) ----------------------
             def do_wfetch(args):
@@ -867,17 +914,19 @@ def build_kernel2(cfg: Cfg2):
                              for kq in range(WQ))
                 return outq, jnp.where(need, base, wqb)
 
+            # fires nearly every trip: calling directly avoids lax.cond's
+            # per-evaluation operand marshalling of the whole queue tuple
             qrw = tuple(S[f"wq{j}"] for j in range(WQ))
-            qrw, wqb = jax.lax.cond(
-                is_fs & (not (_P_NOFETCH or _P_NOW)) & (_any(S["wflag"]) > 0), do_wfetch,
-                lambda a: a, (qrw, S["wqb"]))
-            if cfg.debug_counters:
-                smem_ref[4] = smem_ref[4] + (
-                    is_fs & (_any(S["wflag"]) > 0)).astype(I32)
+            if not (_P_NOFETCH or _P_NOW):
+                qrw, wqb = do_wfetch((qrw, S["wqb"]))
+            else:
+                wqb = S["wqb"]
             for j in range(WQ):
                 S[f"wq{j}"] = qrw[j]
+            if cfg.debug_counters:
+                smem_ref[4] = smem_ref[4] + _any(S["wflag"])
             S["wqb"] = wqb
-            S["wflag"] = jnp.where(is_fs, 0, S["wflag"])
+            S["wflag"] = jnp.zeros((GROUPS, GLANES), I32)
 
             # ---- side-queue refills (spilled nodes / long runs) ---------
             def do_sfetch(args):
@@ -898,22 +947,21 @@ def build_kernel2(cfg: Cfg2):
 
             qrr = tuple(S[f"rq{j}"] for j in range(SQ))
             qri = tuple(S[f"iq{j}"] for j in range(SQ))
-            qrr, qri, rqb, rqn, iqb, iqn = jax.lax.cond(
-                is_fs & (not (_P_NOFETCH or _P_NOS))
-                & ((_any(S["rflag"]) > 0) | (_any(S["iflag"]) > 0)),
-                do_sfetch,
-                lambda a: a,
-                (qrr, qri, S["rqb"], S["rqn"], S["iqb"], S["iqn"]))
+            if not (_P_NOFETCH or _P_NOS):
+                qrr, qri, rqb, rqn, iqb, iqn = do_sfetch(
+                    (qrr, qri, S["rqb"], S["rqn"], S["iqb"], S["iqn"]))
+            else:
+                rqb, rqn, iqb, iqn = (S["rqb"], S["rqn"], S["iqb"],
+                                      S["iqn"])
             if cfg.debug_counters:
                 smem_ref[5] = smem_ref[5] + (
-                    is_fs & ((_any(S["rflag"]) > 0)
-                             | (_any(S["iflag"]) > 0))).astype(I32)
+                    (_any(S["rflag"]) > 0) | (_any(S["iflag"]) > 0)).astype(I32)
             for j in range(SQ):
                 S[f"rq{j}"] = qrr[j]
                 S[f"iq{j}"] = qri[j]
             S["rqb"], S["rqn"], S["iqb"], S["iqn"] = rqb, rqn, iqb, iqn
-            S["rflag"] = jnp.where(is_fs, 0, S["rflag"])
-            S["iflag"] = jnp.where(is_fs, 0, S["iflag"])
+            S["rflag"] = jnp.zeros((GROUPS, GLANES), I32)
+            S["iflag"] = jnp.zeros((GROUPS, GLANES), I32)
 
             # ---- copy-queue fetch ---------------------------------------
             def do_cfetch(args):
@@ -958,7 +1006,8 @@ def build_kernel2(cfg: Cfg2):
                     return jax.lax.fori_loop(0, SLABW // 128, body, midv)
 
                 needT = flat(need.astype(I32)).T > 0
-                any_far = _any(needT & ~use_mid & ~use_ring) > 0
+                any_far = _any((needT & ~use_mid & ~use_ring)
+                               .astype(I32)) > 0
                 # the no-far branch returns midv (concrete layout — a zero
                 # splat's replicated layout cannot join the gather branch);
                 # its value is unused because mid/ring cover every slot then
@@ -975,53 +1024,108 @@ def build_kernel2(cfg: Cfg2):
                 return outq, ncqb, ncql
 
             qrc = tuple(S[f"cq{j}"] for j in range(CQ))
-            qrc, cqb, cqlim = jax.lax.cond(
-                is_fs & (not (_P_NOFETCH or _P_NOC)) & (_any(S["cflag"]) > 0), do_cfetch,
-                lambda a: a, (qrc, S["cqb"], S["cqlim"]))
-            if cfg.debug_counters:
-                smem_ref[3] = smem_ref[3] + (
-                    is_fs & (_any(S["cflag"]) > 0)).astype(I32)
+            if not (_P_NOFETCH or _P_NOC):
+                qrc, cqb, cqlim = do_cfetch((qrc, S["cqb"], S["cqlim"]))
+            else:
+                cqb, cqlim = S["cqb"], S["cqlim"]
             for j in range(CQ):
                 S[f"cq{j}"] = qrc[j]
+            if cfg.debug_counters:
+                smem_ref[3] = smem_ref[3] + _any(S["cflag"])
             S["cqb"] = cqb
             S["cqlim"] = cqlim
-            S["cflag"] = jnp.where(is_fs, 0, S["cflag"])
+            S["cflag"] = jnp.zeros((GROUPS, GLANES), I32)
 
-            # ---- ONE sub-step (the loop runs at sub-step granularity so
-            # the compiled body stays small; every U-th iteration performs
-            # the trip-end write-through/roll) -----------------------------
-            S = substep(S)
-            is_te = (trips & (U - 1)) == (U - 1)
+            # ---- U sub-steps via an inner fori (near-zero carry cost):
+            # the expensive big-operand lax.conds above are evaluated ONCE
+            # per trip instead of once per sub-step, while the compiled
+            # body stays single-substep-sized ------------------------------
+            UIN = cfg.uin
 
-            # ---- write-through ab -> midT (and roll full buffers) -------
-            @pl.when(is_te & (not _P_NOTE))
-            def _():
-                abM = jnp.concatenate([flat(S[f"a{j}"]) for j in range(8)], 0)
-                abT = abM.T  # (1024, 8)
-                pos8 = flat((S["wb"] >> 3) & 31).T
-                tile, mask = place8(abT, pos8, 256)
-                midt_ref[:, :] = jnp.where(mask, tile, midt_ref[:, :])
-            full = is_te & (S["ap"] == 8)
-            S["wb"] = jnp.where(full, S["wb"] + 8, S["wb"])
-            S["ap"] = jnp.where(full, 0, S["ap"])
-            S["rdlim"] = jnp.where(is_te, S["wp"], S["rdlim"])
+            def inner(i, carry):
+                S2 = unpack(carry)
+                for _u in range(UIN):
+                    S2 = substep(S2)
+                g8 = ((i + 1) * UIN & 7) == 0
 
-            # ---- side dump (full 8-groups -> sidebuf, trip end only) ----
-            sfull = is_te & ((S["sp"] - S["sdump"]) == 8)
+                @pl.when(g8 & (not _P_NOTE))
+                def _():
+                    abM = jnp.concatenate(
+                        [flat(S2[f"a{j}"]) for j in range(8)], 0)
+                    abT = abM.T
+                    pos8 = flat((S2["wb"] >> 3) & 31).T
+                    tile, mask = place8(abT, pos8, 256)
+                    midt_ref[:, :] = jnp.where(mask, tile, midt_ref[:, :])
 
-            @pl.when((_any(sfull.astype(I32)) > 0) & (not _P_NOTE))
-            def _():
-                sM = jnp.concatenate([flat(S[f"s{j}"]) for j in range(8)], 0)
-                sT = sM.T
-                posS = flat(S["sdump"] >> 3).T
-                sfT = flat(sfull.astype(I32)).T > 0
-                tile, mask = place8(sT, posS, SB)
-                side_ref[:, :] = jnp.where(sfT & mask, tile, side_ref[:, :])
+                sfull = (S2["sp"] - S2["sdump"]) == 8
 
-            S["sdump"] = jnp.where(sfull, S["sdump"] + 8, S["sdump"])
+                @pl.when(g8 & (_any(sfull.astype(I32)) > 0) & (not _P_NOTE))
+                def _():
+                    sM = jnp.concatenate(
+                        [flat(S2[f"s{j}"]) for j in range(8)], 0)
+                    sT = sM.T
+                    posS = flat(S2["sdump"] >> 3).T
+                    sfT = flat(sfull.astype(I32)).T > 0
+                    tile, mask = place8(sT, posS, SB)
+                    side_ref[:, :] = jnp.where(sfT & mask, tile,
+                                               side_ref[:, :])
+
+                full = g8 & (S2["ap"] == 8)
+                S2["wb"] = jnp.where(full, S2["wb"] + 8, S2["wb"])
+                S2["ap"] = jnp.where(full, 0, S2["ap"])
+                S2["rdlim"] = jnp.where(g8, S2["wp"], S2["rdlim"])
+                S2["sdump"] = jnp.where(g8 & sfull, S2["sdump"] + 8,
+                                        S2["sdump"])
+                return tuple(S2[f] for f in _FIELDS)
+
+            S = unpack(jax.lax.fori_loop(
+                0, U // UIN, inner, tuple(S[f] for f in _FIELDS)))
+            is_te = True
+
+            UIN = cfg.uin
+
+            def inner(i, carry):
+                S2 = unpack(carry)
+                for _u in range(UIN):
+                    S2 = substep(S2)
+                g8 = ((i + 1) * UIN & 7) == 0
+
+                @pl.when(g8 & (not _P_NOTE))
+                def _():
+                    abM = jnp.concatenate(
+                        [flat(S2[f"a{j}"]) for j in range(8)], 0)
+                    abT = abM.T
+                    pos8 = flat((S2["wb"] >> 3) & 31).T
+                    tile, mask = place8(abT, pos8, 256)
+                    midt_ref[:, :] = jnp.where(mask, tile, midt_ref[:, :])
+
+                sfull = (S2["sp"] - S2["sdump"]) == 8
+
+                @pl.when(g8 & (_any(sfull.astype(I32)) > 0) & (not _P_NOTE))
+                def _():
+                    sM = jnp.concatenate(
+                        [flat(S2[f"s{j}"]) for j in range(8)], 0)
+                    sT = sM.T
+                    posS = flat(S2["sdump"] >> 3).T
+                    sfT = flat(sfull.astype(I32)).T > 0
+                    tile, mask = place8(sT, posS, SB)
+                    side_ref[:, :] = jnp.where(sfT & mask, tile,
+                                               side_ref[:, :])
+
+                full = g8 & (S2["ap"] == 8)
+                S2["wb"] = jnp.where(full, S2["wb"] + 8, S2["wb"])
+                S2["ap"] = jnp.where(full, 0, S2["ap"])
+                S2["rdlim"] = jnp.where(g8, S2["wp"], S2["rdlim"])
+                S2["sdump"] = jnp.where(g8 & sfull, S2["sdump"] + 8,
+                                        S2["sdump"])
+                return tuple(S2[f] for f in _FIELDS)
+
+            S = unpack(jax.lax.fori_loop(
+                0, U // UIN, inner, tuple(S[f] for f in _FIELDS)))
+            is_te = True
 
             # ---- flush completed 128-blocks midT -> slab (trip end) -----
-            pnd = is_te & ((S["wb"] >> 7) > S["flp"])
+            pnd = (S["wb"] >> 7) > S["flp"]
             bmin = jnp.min(jnp.where(pnd, S["flp"], INF))
             flpv = S["flp"]
             fl_sel = [pnd & (flpv == bmin + j) for j in range(2)]
@@ -1046,7 +1150,6 @@ def build_kernel2(cfg: Cfg2):
 
             if cfg.debug_counters:
                 smem_ref[0] = smem_ref[0] + 1
-                smem_ref[1] = smem_ref[1] + _any(sfull)
                 smem_ref[2] = smem_ref[2] + _any(pnd)
 
             return (tuple(S[f] for f in _FIELDS), trips + 1)
@@ -1054,7 +1157,7 @@ def build_kernel2(cfg: Cfg2):
         def cond(carry):
             S = unpack(carry[0])
             running = _any(S["st"] != S_DONE) > 0
-            return running & (carry[1] < cfg.trip_cap * U)
+            return running & (carry[1] < cfg.trip_cap)
 
         if cfg.debug_counters:
             for i in range(8):
@@ -1102,6 +1205,10 @@ def build_kernel2(cfg: Cfg2):
 
 @functools.lru_cache(maxsize=16)
 def _compiled2(cfg: Cfg2, interpret: bool):
+    if interpret and cfg.uin != 1:
+        # unrolling only trades compile time for spill amortization on the
+        # chip; keep interpret-mode (CPU test) compiles fast
+        cfg = dataclass_replace(cfg, uin=1)
     kernel = build_kernel2(cfg)
     fn = pl.pallas_call(
         kernel,
