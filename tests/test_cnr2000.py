@@ -131,3 +131,31 @@ def test_xla_decode_cnr2000_matches_truth(graph, truth):
     off, succ = fn(words, bit_offsets)
     np.testing.assert_array_equal(np.asarray(off), toff)
     np.testing.assert_array_equal(np.asarray(succ), tsucc)
+
+
+def test_streaming_decode_cnr2000_matches_truth(graph, truth):
+    """Full-array equality of the v6 streaming lane-range decoder
+    (interpret mode) against the published adjacency lists — the round-4
+    bench kernel, regression-protected."""
+    from webgraph_tpu.pallas import decode2 as D2
+
+    toff, tsucc = truth.to_csr()
+    off, succ = D2.decode_to_csr(graph, interpret=True)
+    np.testing.assert_array_equal(off, toff)
+    np.testing.assert_array_equal(succ, tsucc)
+
+
+def test_query2_batched_random_access_cnr2000(graph, truth):
+    """Batched random access through the streaming kernel: one query's
+    ancestor closure per lane (reference successors(x) random access,
+    BVGraph.java:853-888, 1032-1133)."""
+    from webgraph_tpu.pallas.query2 import QueryPlanner
+
+    toff, tsucc = truth.to_csr()
+    rng = np.random.default_rng(7)
+    nodes = rng.integers(0, graph.num_nodes(), size=64)
+    qp = QueryPlanner(graph)
+    out, counts = qp.successors_batch(nodes, interpret=True)
+    for i, x in enumerate(nodes):
+        exp = tsucc[toff[x]:toff[x + 1]]
+        np.testing.assert_array_equal(out[i, : counts[i]], exp)
