@@ -87,14 +87,23 @@ _P_BODY = int(os.environ.get("D2_BODY", "9"))  # body bisection stage
 
 @dataclass
 class LanePlan:
-    """Host-side partition of [0, n) into per-lane streaming ranges."""
+    """Host-side partition of [0, n) into per-lane streaming ranges.
 
-    gid0: np.ndarray       # (LANES,) first DECODED node (incl. overlap)
-    nstart: np.ndarray     # (LANES,) first REAL node of the lane
-    cnt: np.ndarray        # (LANES,) decoded node count (overlap + real)
-    bit0: np.ndarray       # (LANES,) start bit within the lane's word row
-    word0: np.ndarray      # (LANES,) absolute first 32-bit word
-    d7: np.ndarray         # (7, LANES) outdegrees of the 7 nodes before gid0
+    Each lane decodes up to TWO disjoint ranges (A then B): partitioning
+    into 2 * LANES ranges and pairing the largest with the smallest keeps
+    the per-lane sub-step budget near the mean (contiguous 1024-way
+    partitions are ~2x skewed by arc-density cliffs)."""
+
+    gid0: np.ndarray       # (LANES,) range A first DECODED node (overlap)
+    nstart: np.ndarray     # (LANES,) range A first REAL node
+    cnt: np.ndarray        # (LANES,) TOTAL decoded node count (A + B)
+    cnta: np.ndarray       # (LANES,) range A decoded node count
+    bit0: np.ndarray       # (LANES,) A start bit within the lane word row
+    bit0b: np.ndarray      # (LANES,) B start bit within the lane word row
+    gid0b: np.ndarray      # (LANES,) range B first DECODED node (overlap)
+    word0: np.ndarray      # (LANES,) absolute first 32-bit word of A
+    d7: np.ndarray         # (7, LANES) outdegrees before gid0 (A)
+    d7b: np.ndarray        # (7, LANES) outdegrees before gid0b (B)
     lw: int                # words per lane row (padded)
     slabw: int             # output slab width (per-lane arc capacity)
     sb: int                # side buffer width (max per-node bc + 2*ic, padded)
@@ -194,53 +203,114 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
 
     cand = [search(c) for c in
             {base_cap, base_cap + 2048, base_cap + 4096}]
-    T, (starts, bounds) = min(cand, key=lambda x: x[0])
+    nr = 2 * lanes  # partition twice as fine, then pair large with small
+    save_lanes = lanes
 
-    gid0 = np.empty(lanes, dtype=np.int64)
-    for l in range(lanes):
-        a, b = starts[l], bounds[l]
-        gid0[l] = a if b <= a else min(a, int(minanc[a:b].min()))
-    lane_arcs = csr[bounds] - csr[gid0]
+    def search2(cap):
+        nonlocal slab_cap, lanes
+        lanes = nr
+        try:
+            return search(cap)
+        finally:
+            lanes = save_lanes
+
+    cand2 = [search2(c) for c in
+             {base_cap // 2, base_cap // 2 + 1024, base_cap // 2 + 2048}]
+    T2, (starts2, bounds2) = min(cand2, key=lambda x: x[0])
+
+    def range_data(starts_, bounds_, k):
+        g0 = np.empty(k, dtype=np.int64)
+        for l in range(k):
+            a, b = starts_[l], bounds_[l]
+            g0[l] = a if b <= a else min(a, int(minanc[a:b].min()))
+        return g0
+
+    # pair ranges: sort by sub-step weight, largest with smallest
+    g2 = range_data(starts2, bounds2, nr)
+    steps2 = wc[bounds2] - wc[g2]
+    order = np.argsort(-steps2, kind="stable")
+    pairA = order[:lanes]
+    pairB = order[nr - 1 : lanes - 1 : -1]
+    pair_steps = steps2[pairA] + steps2[pairB]
+    arcs2 = csr[bounds2] - csr[g2]
+    pair_arcs = arcs2[pairA] + arcs2[pairB]
+
+    # fall back to the single-range partition if pairing didn't help
+    T1, (starts1, bounds1) = min(cand, key=lambda x: x[0])
+    if int(pair_steps.max(initial=1)) < T1:
+        iA, iB = pairA, pairB
+        startsA, boundsA = starts2[iA], bounds2[iA]
+        startsB, boundsB = starts2[iB], bounds2[iB]
+        gid0 = g2[iA]
+        gid0b = g2[iB]
+        lane_arcs = pair_arcs
+        max_steps = int(pair_steps.max(initial=1))
+    else:
+        startsA, boundsA = starts1, bounds1
+        startsB = boundsB = np.full(lanes, n, dtype=np.int64)
+        gid0 = range_data(starts1, bounds1, lanes)
+        gid0b = np.full(lanes, n, dtype=np.int64)
+        lane_arcs = csr[boundsA] - csr[gid0]
+        max_steps = int((wc[boundsA] - wc[gid0]).max(initial=1))
+
     slabw = int(lane_arcs.max(initial=0))
     slabw = max(256, -(-slabw // 128) * 128)
 
+    # lane word rows: range A words, then range B words appended
     word0 = bo[gid0] >> 5
+    wlenA = ((bo[boundsA] + 31) >> 5) - word0 + 1
+    word0b = bo[gid0b] >> 5
+    wlenB = np.where(boundsB > startsB,
+                     ((bo[boundsB] + 31) >> 5) - word0b + 1, 0)
     bit0 = (bo[gid0] - (word0 << 5)).astype(np.int64)
-    end_word = (bo[bounds] + 31) >> 5
-    lw = int((end_word - word0).max(initial=1)) + 2
+    # B's bit cursor is relative to its position wlenA inside the lane row
+    bit0b = ((wlenA << 5) + (bo[gid0b] - (word0b << 5))).astype(np.int64)
+    lw = int((wlenA + wlenB).max(initial=1)) + 2
     lw = max(128, -(-lw // 128) * 128)
 
-    d7 = np.zeros((7, lanes), dtype=np.int64)
-    for j in range(7):
-        idx = gid0 - 1 - j
-        ok = idx >= 0
-        d7[j, ok] = d[idx[ok]]
+    def d7_of(g0):
+        out = np.zeros((7, lanes), dtype=np.int64)
+        for j in range(7):
+            idx = g0 - 1 - j
+            ok = (idx >= 0) & (idx < n)
+            out[j, ok] = d[idx[ok]]
+        return out
 
-    # per-lane sub-step bound (stall-free); the kernel adds a safety margin
-    lane_steps = wc[bounds] - wc[gid0]
-    max_steps = int(lane_steps.max(initial=1))
+    d7 = d7_of(gid0)
+    d7b = d7_of(np.clip(gid0b, 0, n))
 
+    arcsA = csr[boundsA] - csr[gid0]
+    arcsB = np.where(boundsB > startsB, csr[boundsB] - csr[gid0b], 0)
     prow = np.zeros(n + 1, dtype=np.int64)
     for l in range(lanes):
-        a, b = int(starts[l]), int(bounds[l])
+        a, b = int(startsA[l]), int(boundsA[l])
         if b > a:
             prow[a:b] = l * slabw + (csr[a:b] - csr[gid0[l]])
-    prow[n] = int(bounds[-1])  # sentinel; use prow[x] + d[x] for row ends
+        a2, b2 = int(startsB[l]), int(boundsB[l])
+        if b2 > a2:
+            prow[a2:b2] = (l * slabw + arcsA[l]
+                           + (csr[a2:b2] - csr[gid0b[l]]))
+    prow[n] = int(csr[-1])  # sentinel; use prow[x] + d[x] for row ends
 
     sb = int((bc + 2 * ic).max(initial=0))
     sb = max(128, -(-(sb + 8) // 128) * 128)
 
     return LanePlan(
         gid0=gid0.astype(np.int64),
-        nstart=starts.astype(np.int64),
-        cnt=(bounds - gid0).astype(np.int64),
+        nstart=startsA.astype(np.int64),
+        cnt=(boundsA - gid0 + np.maximum(boundsB - gid0b, 0)).astype(
+            np.int64),
+        cnta=(boundsA - gid0).astype(np.int64),
         bit0=bit0,
+        bit0b=bit0b,
+        gid0b=np.clip(gid0b, 0, n).astype(np.int64),
         word0=word0,
         d7=d7,
+        d7b=d7b,
         lw=lw,
         slabw=slabw,
         sb=sb,
-        exp_wp=(csr[bounds] - csr[gid0]).astype(np.int64),
+        exp_wp=(arcsA + arcsB).astype(np.int64),
         prow=prow,
         n=n,
         m=int(csr[-1]),
@@ -271,11 +341,11 @@ def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False) -> Cfg2:
     n = plan.n
     vbits = max(int(max(n, 2)).bit_length() + 1, 2)
     need = min(64, 2 * vbits + 1)
-    U = 32
-    cap = 4 * (plan.max_steps // U + 1) + 1024
+    U = 16
+    cap = 4 * (plan.max_steps // U + 1) + 2048
     if _P_CAP:
         cap = _P_CAP
-    uin = int(os.environ.get("D2_UIN", "8"))
+    uin = int(os.environ.get("D2_UIN", "16"))
     return Cfg2(
         skey=(
             s.outdegree_coding,
@@ -470,9 +540,13 @@ def build_kernel2(cfg: Cfg2):
         zu = jnp.zeros((GROUPS, GLANES), U32)
 
         gid0 = meta_ref[0]
-        cntv = meta_ref[1]
+        cntv = meta_ref[1]        # TOTAL nodes (range A + range B)
         bit0 = meta_ref[2]
         d7 = [meta_ref[3 + j] for j in range(7)]
+        gid0b = meta_ref[10]
+        cnta = meta_ref[11]       # nodes in range A (switch point)
+        bit0b = meta_ref[12]      # B bit cursor, lane-word-row relative
+        d7b = [meta_ref[13 + j] for j in range(7)]
 
         # a CONCRETE (memory-derived) zero: splat-constant initial carries
         # get a replicated vector layout that Mosaic cannot relayout to the
@@ -841,6 +915,11 @@ def build_kernel2(cfg: Cfg2):
             nst = jnp.where(adv,
                             jnp.where(loc >= cntv, S_DONE, S_OUTD), nst)
             gid = jnp.where(adv, gid + 1, gid)
+            # range switch: jump the stream cursor to range B, re-prime the
+            # outdegree ring from host data, and invalidate the queues
+            # (fb-ring points at wp: reads come back as junk-safe)
+            sw = adv & (loc == cnta) & (loc < cntv)
+            gid = jnp.where(sw, gid0b, gid)
             newfb = wpv - d
             drs = [S[f"dr{j}"] for j in range(7)]
             fbs = [S[f"fb{j}"] for j in range(7)]
@@ -849,6 +928,15 @@ def build_kernel2(cfg: Cfg2):
                 fbs[j] = jnp.where(adv, fbs[j - 1], fbs[j])
             drs[0] = jnp.where(adv, d, drs[0])
             fbs[0] = jnp.where(adv, newfb, fbs[0])
+            for j in range(7):
+                drs[j] = jnp.where(sw, d7b[j], drs[j])
+                fbs[j] = jnp.where(sw, wpv, fbs[j])
+            w0 = jnp.where(sw, U32(0), w0)
+            w1 = jnp.where(sw, U32(0), w1)
+            w2 = jnp.where(sw, U32(0), w2)
+            avail = jnp.where(sw, -(bit0b & 31), avail)
+            nw = jnp.where(sw, bit0b >> 5, nw)
+            wflag = wflag | sw
             sp = jnp.where(adv, 0, sp)
             sdump = jnp.where(adv, 0, sdump)
             rf = jnp.where(adv, 0, rf)
@@ -1264,20 +1352,35 @@ def prepare2(g, *, slab_cap: int = 8192, debug_counters: bool = False):
     cfg = make_cfg2(g, plan, debug_counters=debug_counters)
 
     w32 = _u32_words(g)
+    bo = g.bit_offsets.astype(np.int64)
     words_lane = np.zeros((LANES, plan.lw), dtype=np.uint32)
     for l in range(LANES):
         a = int(plan.word0[l])
-        b = min(a + plan.lw, len(w32))
+        la = (int(plan.bit0b[l]) >> 5) if plan.cnta[l] < plan.cnt[l] \
+            else plan.lw
+        la = min(la, plan.lw)
+        b = min(a + la, len(w32))
         if b > a:
             words_lane[l, : b - a] = w32[a:b]
+        if plan.cnta[l] < plan.cnt[l]:
+            a2 = int(bo[plan.gid0b[l]] >> 5)
+            span = plan.lw - la
+            b2 = min(a2 + span, len(w32))
+            if b2 > a2:
+                words_lane[l, la : la + (b2 - a2)] = w32[a2:b2]
     words_lane = words_lane.view(np.int32)
 
-    meta = np.zeros((16, GROUPS, GLANES), dtype=np.int32)
+    meta = np.zeros((32, GROUPS, GLANES), dtype=np.int32)
     meta[0] = plan.gid0.reshape(GROUPS, GLANES)
     meta[1] = plan.cnt.reshape(GROUPS, GLANES)
     meta[2] = plan.bit0.reshape(GROUPS, GLANES)
     for j in range(7):
         meta[3 + j] = plan.d7[j].reshape(GROUPS, GLANES)
+    meta[10] = plan.gid0b.reshape(GROUPS, GLANES)
+    meta[11] = plan.cnta.reshape(GROUPS, GLANES)
+    meta[12] = plan.bit0b.reshape(GROUPS, GLANES)
+    for j in range(7):
+        meta[13 + j] = plan.d7b[j].reshape(GROUPS, GLANES)
     return cfg, plan, meta, words_lane
 
 

@@ -88,12 +88,13 @@ class QueryPlanner:
             ok = (idx >= 0) & (cnt > 0)
             d7[j, ok] = self.d[idx[ok]]
 
-        meta = np.zeros((16, D2.GROUPS, D2.GLANES), dtype=np.int32)
+        meta = np.zeros((32, D2.GROUPS, D2.GLANES), dtype=np.int32)
         meta[0] = gid0.reshape(D2.GROUPS, D2.GLANES)
         meta[1] = cnt.reshape(D2.GROUPS, D2.GLANES)
         meta[2] = bit0.reshape(D2.GROUPS, D2.GLANES)
         for j in range(7):
             meta[3 + j] = d7[j].reshape(D2.GROUPS, D2.GLANES)
+        meta[11] = meta[1]  # single range per lane: cnta == total
 
         words_lane = np.zeros((LANES, self.lw), dtype=np.uint32)
         for l in range(q):
