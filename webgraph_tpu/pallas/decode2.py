@@ -1006,7 +1006,9 @@ def build_kernel2(cfg: Cfg2):
             # per-evaluation operand marshalling of the whole queue tuple
             qrw = tuple(S[f"wq{j}"] for j in range(WQ))
             if not (_P_NOFETCH or _P_NOW):
-                qrw, wqb = do_wfetch((qrw, S["wqb"]))
+                qrw, wqb = jax.lax.cond(
+                    (trips & 1) == 0, do_wfetch, lambda a: a,
+                    (qrw, S["wqb"]))
             else:
                 wqb = S["wqb"]
             for j in range(WQ):
@@ -1014,7 +1016,7 @@ def build_kernel2(cfg: Cfg2):
             if cfg.debug_counters:
                 smem_ref[4] = smem_ref[4] + _any(S["wflag"])
             S["wqb"] = wqb
-            S["wflag"] = jnp.zeros((GROUPS, GLANES), I32)
+            S["wflag"] = jnp.where((trips & 1) == 0, 0, S["wflag"])
 
             # ---- side-queue refills (spilled nodes / long runs) ---------
             def do_sfetch(args):
@@ -1036,7 +1038,8 @@ def build_kernel2(cfg: Cfg2):
             qrr = tuple(S[f"rq{j}"] for j in range(SQ))
             qri = tuple(S[f"iq{j}"] for j in range(SQ))
             if not (_P_NOFETCH or _P_NOS):
-                qrr, qri, rqb, rqn, iqb, iqn = do_sfetch(
+                qrr, qri, rqb, rqn, iqb, iqn = jax.lax.cond(
+                    (trips & 1) == 0, do_sfetch, lambda a: a,
                     (qrr, qri, S["rqb"], S["rqn"], S["iqb"], S["iqn"]))
             else:
                 rqb, rqn, iqb, iqn = (S["rqb"], S["rqn"], S["iqb"],
@@ -1048,8 +1051,8 @@ def build_kernel2(cfg: Cfg2):
                 S[f"rq{j}"] = qrr[j]
                 S[f"iq{j}"] = qri[j]
             S["rqb"], S["rqn"], S["iqb"], S["iqn"] = rqb, rqn, iqb, iqn
-            S["rflag"] = jnp.zeros((GROUPS, GLANES), I32)
-            S["iflag"] = jnp.zeros((GROUPS, GLANES), I32)
+            S["rflag"] = jnp.where((trips & 1) == 0, 0, S["rflag"])
+            S["iflag"] = jnp.where((trips & 1) == 0, 0, S["iflag"])
 
             # ---- copy-queue fetch ---------------------------------------
             def do_cfetch(args):
@@ -1113,7 +1116,9 @@ def build_kernel2(cfg: Cfg2):
 
             qrc = tuple(S[f"cq{j}"] for j in range(CQ))
             if not (_P_NOFETCH or _P_NOC):
-                qrc, cqb, cqlim = do_cfetch((qrc, S["cqb"], S["cqlim"]))
+                qrc, cqb, cqlim = jax.lax.cond(
+                    (trips & 1) == 1, do_cfetch, lambda a: a,
+                    (qrc, S["cqb"], S["cqlim"]))
             else:
                 cqb, cqlim = S["cqb"], S["cqlim"]
             for j in range(CQ):
@@ -1122,7 +1127,7 @@ def build_kernel2(cfg: Cfg2):
                 smem_ref[3] = smem_ref[3] + _any(S["cflag"])
             S["cqb"] = cqb
             S["cqlim"] = cqlim
-            S["cflag"] = jnp.zeros((GROUPS, GLANES), I32)
+            S["cflag"] = jnp.where((trips & 1) == 1, 0, S["cflag"])
 
             # ---- U sub-steps via an inner fori (near-zero carry cost):
             # the expensive big-operand lax.conds above are evaluated ONCE
