@@ -85,3 +85,33 @@ def test_streaming_decode_delta_codes(tmp_path):
     s.codings["BLOCKS"] = C.DELTA
     s.codings["RESIDUALS"] = C.GAMMA
     _roundtrip(g, tmp_path, settings=s)
+
+
+def test_decode_auto_dispatch(tmp_path):
+    """decode_to_csr_auto picks a working path for every configuration:
+    streaming kernel for standard configs, host fallback for GOLOMB
+    residuals (no window reader, BVGraph.java:791-849) and for unbounded
+    reference chains whose ancestor reach exceeds the overlap budget."""
+    from webgraph_tpu.bits import codes as Cd
+    from webgraph_tpu.formats.bvgraph import BVGraphSettings
+
+    g = MutableGraph.erdos_renyi(250, 0.04, seed=12)
+    toff, tsucc = g.to_csr()
+
+    # standard config -> streaming kernel
+    base = os.path.join(tmp_path, "std")
+    BVGraph.store(g, base)
+    bv = BVGraph.load(base)
+    assert D2.supports(bv)
+    off, succ = D2.decode_to_csr_auto(bv, interpret=True)
+    np.testing.assert_array_equal(succ, tsucc)
+
+    # GOLOMB residuals -> no window reader, host fallback
+    s = BVGraphSettings(window_size=4, max_ref_count=2)
+    s.codings["RESIDUALS"] = Cd.GOLOMB
+    base2 = os.path.join(tmp_path, "gol")
+    BVGraph.store(g, base2, settings=s)
+    bv2 = BVGraph.load(base2)
+    assert not D2.supports(bv2)
+    off2, succ2 = D2.decode_to_csr_auto(bv2)
+    np.testing.assert_array_equal(succ2, tsucc)

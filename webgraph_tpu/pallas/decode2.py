@@ -1430,3 +1430,54 @@ def decode_to_csr(g, *, interpret: bool | None = None,
         np.arange(m) - np.repeat(offsets[:n], dd))
     succ = flatslab[take].astype(np.int32)
     return offsets, succ
+
+
+def supports(g, *, max_reach: int = 256) -> bool:
+    """Whether the streaming kernel can decode ``g``: every coding must
+    have a window reader (GAMMA/DELTA/ZETA/UNARY — GOLOMB and NIBBLE fall
+    back, BVGraph.java:791-849), window <= 7, and reference-chain reach
+    bounded (unbounded maxref chains collapse the per-lane overlap)."""
+    s = g.settings
+    ok_codings = all(c in (C.GAMMA, C.DELTA, C.ZETA, C.UNARY) for c in (
+        s.outdegree_coding, s.reference_coding, s.block_count_coding,
+        s.block_coding, s.residual_coding))
+    if not (ok_codings and s.window_size <= 7):
+        return False
+    if s.max_ref_count >= 0 and s.window_size * max(s.max_ref_count, 1) \
+            <= max_reach:
+        return True
+    # unbounded or large maxref: check the ACTUAL chain reach
+    from webgraph_tpu.pallas.plan import scan_structure
+
+    scan = scan_structure(g)
+    n = g.num_nodes()
+    ref = scan.ref.astype(np.int64)
+    parent = np.where(ref > 0, np.arange(n) - ref, np.arange(n))
+    minanc = np.arange(n)
+    cur = parent.copy()
+    for _ in range(int(scan.depth.max(initial=0)) + 1):
+        minanc = np.minimum(minanc, cur)
+        cur = parent[cur]
+    return int((np.arange(n) - minanc).max(initial=0)) <= max_reach
+
+
+def decode_to_csr_auto(g, *, interpret: bool | None = None):
+    """Decode with the best available in-kernel path: the streaming
+    lane-range kernel when it supports the graph's configuration, else the
+    round-3 block-phase kernel (window <= 7, no GOLOMB/NIBBLE), else the
+    fused-XLA decoder (every CompressionFlags coding — the reference
+    decodes all codings in all paths, BVGraph.java:791-849)."""
+    if supports(g):
+        return decode_to_csr(g, interpret=interpret)
+    s = g.settings
+    from webgraph_tpu.pallas import decode as D1
+
+    ok1 = s.window_size <= 7 and all(
+        c in (C.GAMMA, C.DELTA, C.ZETA, C.UNARY) for c in (
+            s.outdegree_coding, s.reference_coding, s.block_count_coding,
+            s.block_coding, s.residual_coding))
+    if ok1:
+        return D1.decode_to_csr(g, interpret=interpret)
+    from webgraph_tpu.formats import bvgraph_np
+
+    return bvgraph_np.decode_to_csr(g)
