@@ -171,8 +171,10 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
             if a >= n:
                 bounds[l] = a
                 continue
-            b1 = int(np.searchsorted(wc, wc[a] + T, side="right")) - 1
+            # budget from the overlap start (a heavy node re-decoded as
+            # an ancestor-overlap must count against the lane's budget)
             amin = max(a - reach, 0)
+            b1 = int(np.searchsorted(wc, wc[amin] + T, side="right")) - 1
             b2 = int(np.searchsorted(csr, csr[amin] + slab_cap,
                                      side="right")) - 1
             b = max(a + 1, min(b1, b2, n))
@@ -202,7 +204,7 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
         return best if best is not None else (hi, partition(hi))
 
     cand = [search(c) for c in
-            {base_cap, base_cap + 2048, base_cap + 4096}]
+            {base_cap, base_cap + 4096, base_cap + 8192}]
     nr = 2 * lanes  # partition twice as fine, then pair large with small
     save_lanes = lanes
 
