@@ -1,0 +1,51 @@
+"""Large-synthetic scale regression (reference BVGraphSlowTest analog,
+slow/.../BVGraphSlowTest.java:31,88): a multi-million-arc graph through
+native store -> load -> decode, plus the single-invocation capacity
+boundary of the streaming kernel (its VMEM output slab bounds one call;
+beyond it, decode goes shard-wise)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from webgraph_tpu.formats.bvgraph import BVGraph
+from webgraph_tpu.graph.builders import MutableGraph
+
+pytestmark = pytest.mark.slow
+
+
+def test_big_graph_roundtrip_and_capacity(tmp_path):
+    jax = pytest.importorskip("jax")
+    from webgraph_tpu.formats import bvgraph_np
+    from webgraph_tpu.pallas import decode2 as D2
+
+    n, m = 2_000_000, 20_000_000
+    g = MutableGraph.erdos_renyi(n, m=m, seed=17)
+    toff, tsucc = g.to_csr()
+    base = os.path.join(tmp_path, "big")
+    BVGraph.store(g, base, num_shards=4)
+    bv = BVGraph.load(base)
+    assert bv.num_nodes() == n and bv.num_arcs() == m
+    # int64 bit offsets monotone and consistent with the stream length
+    bo = bv.bit_offsets.astype(np.int64)
+    assert (np.diff(bo) > 0).all() and int(bo[-1]) == bv._bit_length
+
+    # full oracle decode equals the generator CSR
+    off, succ = bvgraph_np.decode_to_csr(bv)
+    np.testing.assert_array_equal(off, toff)
+    np.testing.assert_array_equal(succ, tsucc)
+
+    # the streaming kernel's single-invocation slab cannot hold 20 M arcs:
+    # supports() must say so and the planner must refuse loudly (not hang
+    # or mis-partition) — big graphs go through the sharded decoder
+    assert not D2.supports(bv)
+    from webgraph_tpu.pallas.plan import scan_structure
+
+    with pytest.raises(ValueError, match="too large"):
+        D2.plan_lanes(bv, scan_structure(bv))
+
+    # random access spot checks at the far end of the stream
+    for x in (0, n // 2, n - 1):
+        np.testing.assert_array_equal(
+            np.asarray(list(bv.successors(x))), tsucc[toff[x]:toff[x + 1]])

@@ -201,10 +201,14 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
                 hi = mid
             else:
                 lo = mid + 1
-        return best if best is not None else (hi, partition(hi))
+        if best is None:
+            got = partition(hi)
+            return (hi, got) if got is not None else None
+        return best
 
     cand = [search(c) for c in
             {base_cap, base_cap + 4096, base_cap + 8192}]
+    cand = [c for c in cand if c is not None]
     nr = 2 * lanes  # partition twice as fine, then pair large with small
     save_lanes = lanes
 
@@ -216,8 +220,17 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
         finally:
             lanes = save_lanes
 
+    if not cand:
+        raise ValueError(
+            f"graph too large for a single streaming-kernel invocation "
+            f"({int(csr[-1])} arcs > ~{lanes * (slab_cap + 4096)} slab "
+            f"capacity); decode it shard-wise (parallel/shard.py) or with "
+            f"the XLA decoder")
     cand2 = [search2(c) for c in
              {base_cap // 2, base_cap // 2 + 1024, base_cap // 2 + 2048}]
+    cand2 = [c for c in cand2 if c is not None]
+    if not cand2:
+        cand2 = [(1 << 60, cand[0][1])]
     T2, (starts2, bounds2) = min(cand2, key=lambda x: x[0])
 
     def range_data(starts_, bounds_, k):
@@ -1444,6 +1457,10 @@ def supports(g, *, max_reach: int = 256) -> bool:
         s.outdegree_coding, s.reference_coding, s.block_count_coding,
         s.block_coding, s.residual_coding))
     if not (ok_codings and s.window_size <= 7):
+        return False
+    if g.num_arcs() > LANES * 12288:
+        # one invocation's VMEM slab cannot hold the output; decode
+        # shard-wise (parallel/shard.py splits until each shard fits)
         return False
     if s.max_ref_count >= 0 and s.window_size * max(s.max_ref_count, 1) \
             <= max_reach:
