@@ -1,0 +1,49 @@
+"""Device sort-based transforms vs the host oracle (transform/transform.py).
+
+Reference anchors: Transform.java:964-1052 (transpose), :654-723 (map),
+:913-951 (symmetrize); device formulation = one lax.sort over arcs.
+"""
+
+import numpy as np
+import pytest
+
+from webgraph_tpu.graph.builders import MutableGraph
+from webgraph_tpu.graph.csr import CSRGraph
+
+jax = pytest.importorskip("jax")
+
+from webgraph_tpu.transform import transform as T  # noqa: E402
+from webgraph_tpu.transform.device import (  # noqa: E402
+    map_device, symmetrize_device, transpose_device)
+
+
+@pytest.fixture(scope="module")
+def g():
+    return MutableGraph.erdos_renyi(400, 0.02, seed=8)
+
+
+def test_transpose_device_matches_host(g):
+    off, succ = transpose_device(g)
+    ref = T.transpose(g)
+    roff, rsucc = ref.to_csr()
+    np.testing.assert_array_equal(off, roff)
+    np.testing.assert_array_equal(succ, rsucc)
+
+
+def test_map_device_matches_host(g):
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(g.num_nodes()).astype(np.int64)
+    perm[perm % 7 == 0] = -1  # deletions
+    off, succ = map_device(g, perm)
+    ref = T.map_graph(g, perm)
+    roff, rsucc = ref.to_csr()
+    np.testing.assert_array_equal(off, roff)
+    np.testing.assert_array_equal(succ, rsucc)
+
+
+def test_symmetrize_device_matches_host(g):
+    off, succ = symmetrize_device(g)
+    ref = T.symmetrize(g)
+    roff, rsucc = ref.to_csr()
+    np.testing.assert_array_equal(off, roff)
+    np.testing.assert_array_equal(succ, rsucc)
