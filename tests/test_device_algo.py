@@ -71,3 +71,20 @@ def test_device_eccentricity(graph):
     g, off, succ, csr = graph
     d = _bfs_host(g.num_nodes(), off, succ, 0)
     assert eccentricity(csr, 0) == int(d.max())
+
+
+def test_sumsweep_device_sweeps_match_host():
+    """SumSweep with every forward/backward sweep on the device BFS gives
+    identical diameter/radius to the host sweeps
+    (SumSweepDirectedDiameterRadius.java:1037 analog)."""
+    from webgraph_tpu.algo.sumsweep import (OutputLevel,
+                                            SumSweepDirectedDiameterRadius)
+
+    g = MutableGraph.erdos_renyi(300, 0.02, seed=3)
+    a = SumSweepDirectedDiameterRadius(g, OutputLevel.RADIUS_DIAMETER)
+    a.compute()
+    b = SumSweepDirectedDiameterRadius(g, OutputLevel.RADIUS_DIAMETER,
+                                       use_device=True)
+    b.compute()
+    assert (a.get_diameter(), a.get_radius()) == \
+        (b.get_diameter(), b.get_radius())

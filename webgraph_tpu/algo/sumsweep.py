@@ -42,6 +42,7 @@ class SumSweepDirectedDiameterRadius:
         graph: ImmutableGraph,
         output: OutputLevel = OutputLevel.RADIUS_DIAMETER,
         transpose: ImmutableGraph | None = None,
+        use_device: bool = False,
     ):
         self.graph = CSRGraph.from_graph(graph)
         self.transpose = CSRGraph.from_graph(transpose) if transpose is not None else transpose_graph(graph)
@@ -49,6 +50,26 @@ class SumSweepDirectedDiameterRadius:
         self.n = graph.num_nodes()
         self.iterations = 0
         self._done = False
+        # device sweeps: every forward/backward BFS runs on the TPU
+        # (arc-parallel level-synchronous program, algo/device.py) — the
+        # TPU analog of the reference's threaded sweeps
+        # (SumSweepDirectedDiameterRadius.java:1037)
+        self._dev = None
+        if use_device:
+            from webgraph_tpu.algo.device import DeviceCSR
+
+            self._dev = (DeviceCSR.from_graph(self.graph),
+                         DeviceCSR.from_graph(self.transpose))
+
+    def _bfs(self, g, v):
+        if self._dev is not None:
+            import numpy as _np
+
+            from webgraph_tpu.algo.device import bfs_distances as _dbfs
+
+            csr = self._dev[0] if g is self.graph else self._dev[1]
+            return _np.asarray(_dbfs(csr, int(v))).astype(_np.int64)
+        return bfs_distances(g, v)
 
     # -- SCC-DAG upper-bound machinery (the reference's core technique:
     # SumSweepDirectedDiameterRadius.java computeUB / allCCUpperBound;
@@ -179,8 +200,8 @@ class SumSweepDirectedDiameterRadius:
             everywhere, upper bounds for v's SCC (d(x,v) <= d_C(x,p)+d_C(p,v),
             Reach(x) = Reach(v) within an SCC) and globally when v reaches
             (or is reached by) everything."""
-            fs = bfs_distances(self.graph, v)
-            bs = bfs_distances(self.transpose, v)
+            fs = self._bfs(self.graph, v)
+            bs = self._bfs(self.transpose, v)
             self.iterations += 2
             swept[v] = True
             reachF = fs >= 0
@@ -264,14 +285,14 @@ class SumSweepDirectedDiameterRadius:
         # finalize remaining exact eccentricities if ALL requested
         if want_all:
             for x in np.flatnonzero(~(lF >= uF)):
-                fs = bfs_distances(self.graph, int(x))
+                fs = self._bfs(self.graph, int(x))
                 e = int(fs.max())
                 eccF[x] = e
                 uF[x] = lF[x] = e
                 self.iterations += 1
             if self.output == OutputLevel.ALL:
                 for x in np.flatnonzero(~(lB >= uB)):
-                    bs = bfs_distances(self.transpose, int(x))
+                    bs = self._bfs(self.transpose, int(x))
                     e = int(bs.max())
                     eccB[x] = e
                     uB[x] = lB[x] = e
