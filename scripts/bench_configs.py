@@ -8,12 +8,14 @@
      the synthetic graph reproduces the regime: long same-prefix lists)
   4. transpose + Gray/lex permutation + recompress
   5. device random-access successor queries + adjacency (BatchQuery)
+  6. er-200k synthetic streaming-kernel decode (second on-chip datapoint)
 
 Configs 1-4 exercise the host compression pipeline (the production
-compress path, optionally the native C++ codec); config 5 runs on
-jax.devices().  Results land on stdout and in BENCH_CONFIGS.json.
+compress path, optionally the native C++ codec); configs 5-6 run on
+jax.devices().  Results MERGE into BENCH_CONFIGS.json keyed by config
+(a partial run never destroys other configs' rows).
 
-Usage: python scripts/bench_configs.py [1 2 3 4 5]
+Usage: python scripts/bench_configs.py [1 2 3 4 5 6]
 """
 import json
 import os
@@ -229,14 +231,102 @@ def config5():
     })
 
 
+def _timed_streaming_decode(bv, toff, tsucc, reps=5):
+    """Salted-checksum timing of a full streaming-kernel decode (the
+    methodology of bench.py / CLAUDE.md); returns (seconds, plan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from webgraph_tpu.pallas import decode2 as D2
+
+    MULT = 2654435761
+    cfg, plan, meta, words = D2.prepare2(bv)
+    n, m = plan.n, plan.m
+    fn = D2._compiled2(cfg, jax.default_backend() == "cpu")
+    w = np.zeros((D2.LANES, cfg.slabw), dtype=np.uint32)
+    d = np.diff(toff).astype(np.int64)
+    gpos = np.arange(m, dtype=np.uint64)
+    wv = ((gpos * MULT + 1) & 0xFFFFFFFF).astype(np.uint32)
+    take = np.repeat(plan.prow[:n], d) + (gpos.astype(np.int64)
+                                          - np.repeat(toff[:n], d))
+    w.reshape(-1)[take] = wv
+    expect = int((tsucc.astype(np.uint64) * wv.astype(np.uint64)).sum()
+                 & 0xFFFFFFFF)
+
+    @jax.jit
+    def f(meta, words, w, salt):
+        slab, wp, dbg, dump = fn(meta, words)
+        return jnp.sum(slab.astype(jnp.uint32) * w,
+                       dtype=jnp.uint32) + salt, wp
+
+    m_j, w_j, ww_j = jnp.asarray(meta), jnp.asarray(words), jnp.asarray(w)
+    s0, wp = f(m_j, w_j, ww_j, jnp.uint32(0))
+    assert np.array_equal(np.asarray(wp).reshape(-1), plan.exp_wp)
+    assert int(np.uint32(s0)) == expect
+    triv = jax.jit(lambda x: x + 1)
+    int(triv(jnp.uint32(0)))
+    t0 = time.perf_counter()
+    for k in range(5):
+        int(triv(jnp.uint32(k)))
+    over = (time.perf_counter() - t0) / 5
+    best = 1e9
+    for rep in range(1, reps + 1):
+        t0 = time.perf_counter()
+        s, _ = f(m_j, w_j, ww_j, jnp.uint32(rep))
+        assert int(np.uint32(s)) == (expect + rep) % (1 << 32)
+        best = min(best, time.perf_counter() - t0)
+    return max(best - over, 1e-9), plan
+
+
+def config6():
+    """Second on-chip decode datapoint: er-200k synthetic (near-zero copy
+    chains — the kernel's balanced-input ceiling), streaming kernel,
+    salted-checksum verified."""
+    import jax
+
+    from webgraph_tpu.formats import bvgraph_np
+    from webgraph_tpu.formats.bvgraph import BVGraph
+    from webgraph_tpu.graph.builders import MutableGraph
+
+    base = "/tmp/er200k/g"
+    if not os.path.exists(base + ".graph"):
+        os.makedirs("/tmp/er200k", exist_ok=True)
+        g = MutableGraph.erdos_renyi(200_000, m=2_000_000, seed=42)
+        BVGraph.store(g, base)
+    bv = BVGraph.load(base)
+    toff, tsucc = bvgraph_np.decode_to_csr(bv)
+    eff, plan = _timed_streaming_decode(bv, toff, tsucc)
+    emit({
+        "config": 6,
+        "metric": "er-200k synthetic decode, streaming kernel (second "
+                  "on-chip datapoint; salted-checksum verified)",
+        "backend": jax.default_backend(),
+        "n": plan.n, "m": plan.m,
+        "decode_ms": round(eff * 1e3, 2),
+        "decode_Medges_s": round(plan.m / eff / 1e6, 1),
+    })
+
+
 def main():
-    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6]
     for c in which:
         globals()[f"config{c}"]()
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_CONFIGS.json"), "w") as f:
-        for rec in OUT:
-            f.write(json.dumps(rec) + "\n")
+    # merge-update keyed by config: never destroy rows from other runs
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_CONFIGS.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    merged[rec.get("config")] = rec
+    for rec in OUT:
+        merged[rec.get("config")] = rec
+    with open(path, "w") as f:
+        for key in sorted(merged, key=lambda k: (k is None, k)):
+            f.write(json.dumps(merged[key]) + "\n")
 
 
 if __name__ == "__main__":

@@ -91,10 +91,12 @@ del _b, _k, _p
 
 
 def _select_in_word(words: np.ndarray, r: np.ndarray) -> np.ndarray:
-    """Position (0..63) of the r-th set bit within each uint64 word."""
-    words = np.atleast_1d(np.asarray(words, dtype=np.uint64))
-    r = np.atleast_1d(np.asarray(r, dtype=np.int64))
-    pos = np.zeros(len(words), dtype=np.int64)
+    """Position (0..63) of the r-th set bit within each uint64 word
+    (shape-preserving: scalar in -> 0-d out, so int() stays legal)."""
+    words = np.asarray(words, dtype=np.uint64)
+    r = np.asarray(r, dtype=np.int64)
+    pos = np.zeros(np.broadcast_shapes(words.shape, r.shape),
+                   dtype=np.int64)
     rem = r.astype(np.int64).copy()
     w = words.copy()
     for _ in range(7):

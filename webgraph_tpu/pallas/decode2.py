@@ -78,6 +78,8 @@ _P_NOW = bool(os.environ.get("D2_NOW"))
 _P_NOS = bool(os.environ.get("D2_NOS"))
 _P_NOC = bool(os.environ.get("D2_NOC"))
 _P_BODY = int(os.environ.get("D2_BODY", "9"))  # body bisection stage
+_P_SINGLE = bool(os.environ.get("D2_SINGLE"))  # one inner block per trip
+_P_EVERY = bool(os.environ.get("D2_EVERY"))    # serve fetches every trip
 
 
 # ----------------------------------------------------------------------
@@ -356,11 +358,11 @@ def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False) -> Cfg2:
     n = plan.n
     vbits = max(int(max(n, 2)).bit_length() + 1, 2)
     need = min(64, 2 * vbits + 1)
-    U = 16
+    U = int(os.environ.get("D2_U", "16"))
     cap = 4 * (plan.max_steps // U + 1) + 2048
     if _P_CAP:
         cap = _P_CAP
-    uin = int(os.environ.get("D2_UIN", "16"))
+    uin = int(os.environ.get("D2_UIN", str(U)))
     return Cfg2(
         skey=(
             s.outdegree_coding,
@@ -507,8 +509,8 @@ def win_drop(w0, w1, w2, avail, length, on):
 # kernel builder
 # ----------------------------------------------------------------------
 
-WQ = 32   # word-queue depth (registers)
-CQ = 32   # copy-queue depth (registers)
+WQ = int(os.environ.get("D2_WQ", "32"))   # word-queue depth (registers)
+CQ = int(os.environ.get("D2_CQ", "32"))   # copy-queue depth (registers)
 SQ = 8    # run-boundary / interval-pair queue depth
 
 # loop-carry field names, in order (all (8,128) int32 unless noted)
@@ -1000,6 +1002,11 @@ def build_kernel2(cfg: Cfg2):
         def trip(carry):
             S = unpack(carry[0])
             trips = carry[1]
+            # fetch-serve cadence: word/side fetches on even trips, copy
+            # fetches on odd trips (halves the per-trip fetch-body cost);
+            # D2_EVERY=1 serves every trip (cadence experiment)
+            even_t = ((trips & 1) == 0) | jnp.bool_(_P_EVERY)
+            odd_t = ((trips & 1) == 1) | jnp.bool_(_P_EVERY)
             # fetches are served on the FIRST sub-step of each trip and
             # dumps/flushes on the LAST: flagged lanes stall at most U-1
             # sub-steps, and lockstep "any lane needs it" amplification is
@@ -1022,7 +1029,7 @@ def build_kernel2(cfg: Cfg2):
             qrw = tuple(S[f"wq{j}"] for j in range(WQ))
             if not (_P_NOFETCH or _P_NOW):
                 qrw, wqb = jax.lax.cond(
-                    (trips & 1) == 0, do_wfetch, lambda a: a,
+                    even_t, do_wfetch, lambda a: a,
                     (qrw, S["wqb"]))
             else:
                 wqb = S["wqb"]
@@ -1031,7 +1038,7 @@ def build_kernel2(cfg: Cfg2):
             if cfg.debug_counters:
                 smem_ref[4] = smem_ref[4] + _any(S["wflag"])
             S["wqb"] = wqb
-            S["wflag"] = jnp.where((trips & 1) == 0, 0, S["wflag"])
+            S["wflag"] = jnp.where(even_t, 0, S["wflag"])
 
             # ---- side-queue refills (spilled nodes / long runs) ---------
             def do_sfetch(args):
@@ -1054,7 +1061,7 @@ def build_kernel2(cfg: Cfg2):
             qri = tuple(S[f"iq{j}"] for j in range(SQ))
             if not (_P_NOFETCH or _P_NOS):
                 qrr, qri, rqb, rqn, iqb, iqn = jax.lax.cond(
-                    (trips & 1) == 0, do_sfetch, lambda a: a,
+                    even_t, do_sfetch, lambda a: a,
                     (qrr, qri, S["rqb"], S["rqn"], S["iqb"], S["iqn"]))
             else:
                 rqb, rqn, iqb, iqn = (S["rqb"], S["rqn"], S["iqb"],
@@ -1066,8 +1073,8 @@ def build_kernel2(cfg: Cfg2):
                 S[f"rq{j}"] = qrr[j]
                 S[f"iq{j}"] = qri[j]
             S["rqb"], S["rqn"], S["iqb"], S["iqn"] = rqb, rqn, iqb, iqn
-            S["rflag"] = jnp.where((trips & 1) == 0, 0, S["rflag"])
-            S["iflag"] = jnp.where((trips & 1) == 0, 0, S["iflag"])
+            S["rflag"] = jnp.where(even_t, 0, S["rflag"])
+            S["iflag"] = jnp.where(even_t, 0, S["iflag"])
 
             # ---- copy-queue fetch ---------------------------------------
             def do_cfetch(args):
@@ -1132,7 +1139,7 @@ def build_kernel2(cfg: Cfg2):
             qrc = tuple(S[f"cq{j}"] for j in range(CQ))
             if not (_P_NOFETCH or _P_NOC):
                 qrc, cqb, cqlim = jax.lax.cond(
-                    (trips & 1) == 1, do_cfetch, lambda a: a,
+                    odd_t, do_cfetch, lambda a: a,
                     (qrc, S["cqb"], S["cqlim"]))
             else:
                 cqb, cqlim = S["cqb"], S["cqlim"]
@@ -1142,12 +1149,14 @@ def build_kernel2(cfg: Cfg2):
                 smem_ref[3] = smem_ref[3] + _any(S["cflag"])
             S["cqb"] = cqb
             S["cqlim"] = cqlim
-            S["cflag"] = jnp.where((trips & 1) == 1, 0, S["cflag"])
+            S["cflag"] = jnp.where(odd_t, 0, S["cflag"])
 
             # ---- U sub-steps via an inner fori (near-zero carry cost):
             # the expensive big-operand lax.conds above are evaluated ONCE
             # per trip instead of once per sub-step, while the compiled
-            # body stays single-substep-sized ------------------------------
+            # body stays single-substep-sized.  The inner block runs TWICE
+            # per trip (2*U sub-steps) so each fetch kind, served on
+            # alternate trips, fires once per 4*U sub-steps ----------------
             UIN = cfg.uin
 
             def inner(i, carry):
@@ -1186,51 +1195,9 @@ def build_kernel2(cfg: Cfg2):
                                         S2["sdump"])
                 return tuple(S2[f] for f in _FIELDS)
 
-            S = unpack(jax.lax.fori_loop(
-                0, U // UIN, inner, tuple(S[f] for f in _FIELDS)))
-            is_te = True
-
-            UIN = cfg.uin
-
-            def inner(i, carry):
-                S2 = unpack(carry)
-                for _u in range(UIN):
-                    S2 = substep(S2)
-                g8 = ((i + 1) * UIN & 7) == 0
-
-                @pl.when(g8 & (not _P_NOTE))
-                def _():
-                    abM = jnp.concatenate(
-                        [flat(S2[f"a{j}"]) for j in range(8)], 0)
-                    abT = abM.T
-                    pos8 = flat((S2["wb"] >> 3) & 31).T
-                    tile, mask = place8(abT, pos8, 256)
-                    midt_ref[:, :] = jnp.where(mask, tile, midt_ref[:, :])
-
-                sfull = (S2["sp"] - S2["sdump"]) == 8
-
-                @pl.when(g8 & (_any(sfull.astype(I32)) > 0) & (not _P_NOTE))
-                def _():
-                    sM = jnp.concatenate(
-                        [flat(S2[f"s{j}"]) for j in range(8)], 0)
-                    sT = sM.T
-                    posS = flat(S2["sdump"] >> 3).T
-                    sfT = flat(sfull.astype(I32)).T > 0
-                    tile, mask = place8(sT, posS, SB)
-                    side_ref[:, :] = jnp.where(sfT & mask, tile,
-                                               side_ref[:, :])
-
-                full = g8 & (S2["ap"] == 8)
-                S2["wb"] = jnp.where(full, S2["wb"] + 8, S2["wb"])
-                S2["ap"] = jnp.where(full, 0, S2["ap"])
-                S2["rdlim"] = jnp.where(g8, S2["wp"], S2["rdlim"])
-                S2["sdump"] = jnp.where(g8 & sfull, S2["sdump"] + 8,
-                                        S2["sdump"])
-                return tuple(S2[f] for f in _FIELDS)
-
-            S = unpack(jax.lax.fori_loop(
-                0, U // UIN, inner, tuple(S[f] for f in _FIELDS)))
-            is_te = True
+            for _blk in range(1 if _P_SINGLE else 2):
+                S = unpack(jax.lax.fori_loop(
+                    0, U // UIN, inner, tuple(S[f] for f in _FIELDS)))
 
             # ---- flush completed 128-blocks midT -> slab (trip end) -----
             pnd = (S["wb"] >> 7) > S["flp"]
