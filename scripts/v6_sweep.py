@@ -23,6 +23,7 @@ VARIANTS = {
     "now": {"D2_NOW": "1"},
     "noc": {"D2_NOC": "1"},
     "nos": {"D2_NOS": "1"},
+    "nocond": {"D2_NOCOND": "1"},
 }
 
 

@@ -2,7 +2,8 @@
 slow/.../BVGraphSlowTest.java:31,88): a multi-million-arc graph through
 native store -> load -> decode, plus the single-invocation capacity
 boundary of the streaming kernel (its VMEM output slab bounds one call;
-beyond it, decode goes shard-wise)."""
+beyond it, decode_to_csr tiles the node range through one compiled
+kernel)."""
 
 import os
 
@@ -37,13 +38,23 @@ def test_big_graph_roundtrip_and_capacity(tmp_path):
     np.testing.assert_array_equal(succ, tsucc)
 
     # the streaming kernel's single-invocation slab cannot hold 20 M arcs:
-    # supports() must say so and the planner must refuse loudly (not hang
-    # or mis-partition) — big graphs go through the sharded decoder
-    assert not D2.supports(bv)
+    # a single-range plan must refuse loudly (not hang or mis-partition)…
+    assert D2.supports(bv)
     from webgraph_tpu.pallas.plan import scan_structure
 
+    scan = scan_structure(bv)
     with pytest.raises(ValueError, match="too large"):
-        D2.plan_lanes(bv, scan_structure(bv))
+        D2.plan_lanes(bv, scan)
+    # …and decode_to_csr must tile it through ONE compiled kernel — the
+    # flagship decode path at every scale (the unbounded-size analog of
+    # the reference's sequential decode, BVGraph.java:1136-1281)
+    tiles = D2.plan_tiles(bv, scan)
+    assert len(tiles) >= 3
+    assert tiles[0].lo == 0 and tiles[-1].hi == n
+    assert all(a.hi == b.lo for a, b in zip(tiles, tiles[1:]))
+    koff, ksucc = D2.decode_to_csr(bv, interpret=True)
+    np.testing.assert_array_equal(koff, toff)
+    np.testing.assert_array_equal(ksucc, tsucc)
 
     # random access spot checks at the far end of the stream
     for x in (0, n // 2, n - 1):

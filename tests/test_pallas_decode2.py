@@ -115,3 +115,31 @@ def test_decode_auto_dispatch(tmp_path):
     assert not D2.supports(bv2)
     off2, succ2 = D2.decode_to_csr_auto(bv2)
     np.testing.assert_array_equal(succ2, tsucc)
+
+
+def test_tiled_decode_matches_oracle(tmp_path):
+    """Forced multi-tile decode (tile_arcs below the graph size) is
+    bit-identical to the oracle and to the single-invocation path — the
+    mechanism that scales the streaming kernel past its VMEM slab
+    (reference analog: unbounded sequential decode, BVGraph.java:1136-1281)."""
+    from webgraph_tpu.formats import bvgraph_np
+    from webgraph_tpu.pallas.plan import scan_structure
+
+    g = MutableGraph.erdos_renyi(3000, m=30000, seed=11)
+    base = os.path.join(tmp_path, "g")
+    BVGraph.store(g, base)
+    bv = BVGraph.load(base)
+    toff, tsucc = bvgraph_np.decode_to_csr(bv)
+
+    scan = scan_structure(bv)
+    tiles = D2.plan_tiles(bv, scan, tile_arcs=5000)
+    assert len(tiles) >= 5
+    # common compiled shape across tiles
+    assert len({(p.slabw, p.lw, p.sb) for p in tiles}) == 1
+    # contiguous full cover
+    assert tiles[0].lo == 0 and tiles[-1].hi == bv.num_nodes()
+    assert all(a.hi == b.lo for a, b in zip(tiles, tiles[1:]))
+
+    off, succ = D2.decode_to_csr(bv, interpret=True, tile_arcs=5000)
+    np.testing.assert_array_equal(off, toff)
+    np.testing.assert_array_equal(succ, tsucc)

@@ -1,10 +1,12 @@
 """Node-range sharded decode of ONE BVGraph stream over a CPU device mesh.
 
-The SPMD body (`formats/bvgraph_jax.make_shard_decode_fn`) decodes each
-contiguous node range of the same bitstream under `shard_map`; the host
-oracle is the scalar/NumPy decoder.  Reference semantics: window priming at
-BVGraph.java:1173-1183 and splitNodeIterators ranges
-(ImmutableGraph.java:379-409).
+The primary SPMD body is the STREAMING (v6) Pallas kernel — one tile of
+the common-shape tile plan per device under `shard_map`
+(parallel/shard.decode_to_csr_sharded_v6); the fused-XLA work-queue body
+(`formats/bvgraph_jax.make_shard_decode_fn`) remains as the fallback for
+codings the kernel lacks.  Host oracle: the scalar/NumPy decoder.
+Reference semantics: window priming at BVGraph.java:1173-1183 and
+splitNodeIterators ranges (ImmutableGraph.java:379-409).
 
 conftest.py forces JAX onto a virtual 8-device CPU mesh.
 """
@@ -30,12 +32,14 @@ def _mesh(num):
     return Mesh(np.array(devs[:num]), ("nodes",))
 
 
-def _check(g, bv, num_shards):
+def _check(g, bv, num_shards, expect_v6=True):
     toff, tsucc = g.to_csr()
-    off, succ, plan = decode_to_csr_sharded(bv, _mesh(num_shards))
+    off, succ, info = decode_to_csr_sharded(bv, _mesh(num_shards))
     np.testing.assert_array_equal(off, toff)
     np.testing.assert_array_equal(succ, tsucc)
-    return plan
+    if expect_v6:  # the streaming kernel IS the sharded decode path
+        assert isinstance(info, list) and info[-1].hi == bv.num_nodes()
+    return info
 
 
 @pytest.mark.parametrize(
@@ -54,12 +58,35 @@ def test_sharded_decode_matches_oracle(n, p, seed, shards, tmp_path):
 
 
 def test_sharded_decode_window0(tmp_path):
-    """No references: every shard decodes independently, margin 0."""
+    """No references: every shard decodes independently, margin 0 (forced
+    through the legacy XLA work-queue path via an explicit ShardPlan)."""
+    from webgraph_tpu.parallel.shard import plan_node_shards
+
     g = MutableGraph.erdos_renyi(400, 0.04, seed=9)
     base = str(tmp_path / "g")
     BVGraph.store(g, base, window_size=0, max_ref_count=0)
-    plan = _check(g, BVGraph.load(base), 4)
+    bv = BVGraph.load(base)
+    toff, tsucc = g.to_csr()
+    plan = plan_node_shards(bv, 4)
     assert plan.margin == 0
+    off, succ, plan = decode_to_csr_sharded(bv, _mesh(4), plan=plan)
+    np.testing.assert_array_equal(off, toff)
+    np.testing.assert_array_equal(succ, tsucc)
+
+
+def test_sharded_decode_fallback_dispatch(tmp_path):
+    """A coding the streaming kernel lacks (GOLOMB residuals,
+    BVGraph.java:791-849) dispatches to the XLA work-queue body."""
+    from webgraph_tpu.bits import codes as C
+    from webgraph_tpu.formats.bvgraph import BVGraphSettings
+
+    g = MutableGraph.erdos_renyi(200, 0.05, seed=2)
+    st = BVGraphSettings(window_size=4, max_ref_count=2)
+    st.codings["RESIDUALS"] = C.GOLOMB
+    base = str(tmp_path / "g")
+    BVGraph.store(g, base, settings=st)
+    info = _check(g, BVGraph.load(base), 2, expect_v6=False)
+    assert not isinstance(info, list)  # legacy ShardPlan
 
 
 @pytest.mark.slow
@@ -77,7 +104,8 @@ def test_sharded_decode_cnr2000():
 
     bv = BVGraph.load(CNR2000_BASENAME)
     toff, tsucc = bvgraph_np.decode_to_csr(bv)
-    off, succ, plan = decode_to_csr_sharded(bv, _mesh(8))
-    assert plan.n == 325557 and plan.m == 3216152
+    off, succ, tiles = decode_to_csr_sharded(bv, _mesh(8))
+    assert isinstance(tiles, list) and len(tiles) == 8  # v6 kernel path
+    assert tiles[0].lo == 0 and tiles[-1].hi == 325557
     np.testing.assert_array_equal(off, toff)
     np.testing.assert_array_equal(succ, tsucc)

@@ -418,26 +418,65 @@ class BVGraph(ImmutableGraph):
     def node_iterator(self, start: int = 0) -> NodeIterator:
         return _BVGraphNodeIterator(self, start)
 
-    def to_csr(self) -> tuple[np.ndarray, np.ndarray]:
-        """Bulk decode. Prefers the native C++ decoder, then the vectorized
-        NumPy lane-parallel decoder, then the scalar sequential path."""
-        try:
-            from webgraph_tpu import native
-            from webgraph_tpu.bits.bitstream import words_to_bytes
+    def to_csr(self, backend: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """Bulk decode to host CSR, dispatched to the best available
+        backend (the load-method dispatch analog of
+        ImmutableGraph.java:647-685):
 
-            if native.available():
-                data = words_to_bytes(as_u64_words(self._words), self._bit_length)
-                out = native.bvgraph_decode(data, self._n, self._m, self.settings)
-                if out is not None:
-                    return out
-        except ImportError:
-            pass
-        try:
-            from webgraph_tpu.formats import bvgraph_np
+        * ``"device"`` — the in-kernel decoder chain (streaming Pallas
+          kernel / block-phase kernel / fused XLA, pallas/decode2.py
+          ``decode_to_csr_auto``), tiled for any graph size;
+        * ``"native"`` — the C++ host codec (native/wgt_codec.cpp);
+        * ``"numpy"``  — the vectorized NumPy lane decoder;
+        * ``"scalar"`` — the bitstream oracle (always available);
+        * ``None``/``"auto"`` — device when an accelerator backs
+          jax.devices(), else native -> numpy -> scalar.  Overridable with
+          the ``WGT_DECODE_BACKEND`` env var.
+        """
+        import os
 
-            return bvgraph_np.decode_to_csr(self)
-        except (ImportError, NotImplementedError):
+        if backend is None:
+            backend = os.environ.get("WGT_DECODE_BACKEND", "auto")
+        if backend == "auto":
+            backend = "host"
+            try:
+                import jax
+
+                if jax.default_backend() not in ("cpu",):
+                    backend = "device"
+            except Exception:
+                pass
+        if backend == "device":
+            from webgraph_tpu.pallas.decode2 import decode_to_csr_auto
+
+            return decode_to_csr_auto(self)
+        if backend in ("host", "native"):
+            try:
+                from webgraph_tpu import native
+                from webgraph_tpu.bits.bitstream import words_to_bytes
+
+                if native.available():
+                    data = words_to_bytes(as_u64_words(self._words),
+                                          self._bit_length)
+                    out = native.bvgraph_decode(data, self._n, self._m,
+                                                self.settings)
+                    if out is not None:
+                        return out
+            except ImportError:
+                pass
+            if backend == "native":
+                raise RuntimeError("native codec unavailable")
+            backend = "numpy"
+        if backend == "numpy":
+            try:
+                from webgraph_tpu.formats import bvgraph_np
+
+                return bvgraph_np.decode_to_csr(self)
+            except (ImportError, NotImplementedError):
+                return self._to_csr_scalar()
+        if backend == "scalar":
             return self._to_csr_scalar()
+        raise ValueError(f"unknown decode backend {backend!r}")
 
     def _to_csr_scalar(self) -> tuple[np.ndarray, np.ndarray]:
         offsets = np.zeros(self._n + 1, dtype=np.int64)

@@ -80,6 +80,7 @@ _P_NOC = bool(os.environ.get("D2_NOC"))
 _P_BODY = int(os.environ.get("D2_BODY", "9"))  # body bisection stage
 _P_SINGLE = bool(os.environ.get("D2_SINGLE"))  # one inner block per trip
 _P_EVERY = bool(os.environ.get("D2_EVERY"))    # serve fetches every trip
+_P_NOCOND = bool(os.environ.get("D2_NOCOND"))  # fetch bodies without lax.cond
 
 
 # ----------------------------------------------------------------------
@@ -110,21 +111,33 @@ class LanePlan:
     slabw: int             # output slab width (per-lane arc capacity)
     sb: int                # side buffer width (max per-node bc + 2*ic, padded)
     exp_wp: np.ndarray     # (LANES,) expected emission count (validation)
-    prow: np.ndarray       # (n + 1,) int64 padded row pointer into the slab
+    prow: np.ndarray       # (hi-lo+1,) int64 padded row pointer into the slab
     n: int = 0
-    m: int = 0
+    m: int = 0             # arcs of the REAL nodes in [lo, hi)
     max_steps: int = 0     # max per-lane sub-step count (trip bound)
+    lo: int = 0            # first real node of this plan (tile start)
+    hi: int = 0            # one past the last real node (tile end)
 
 
-def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
-    """Balance nodes into `lanes` contiguous ranges + ancestor overlap.
+def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192,
+               node_range: tuple[int, int] | None = None,
+               slabw_fixed: int | None = None) -> LanePlan:
+    """Balance the nodes of ``node_range`` (default: the whole graph) into
+    `lanes` contiguous ranges + ancestor overlap.
 
     Work model: one sub-step per code + one per emitted arc + constant
     per-node overhead — all known exactly from the host structure scan
     (the same pre-scan that backs the round-3 planner; analogous to the
     reference's `.obl`/`.outdegrees` load-time caches, BVGraph.java:362-364).
+
+    Graphs too large for one invocation are decoded as a sequence of tiles
+    (``decode_to_csr`` plans each tile with ``node_range`` and a common
+    ``slabw_fixed`` so every tile runs the same compiled kernel) — the
+    unbounded-size analog of the reference's sequential/offline decode
+    (BVGraph.java:1136-1281, 1268-1277).
     """
     n = g.num_nodes()
+    node_lo, node_hi = node_range if node_range is not None else (0, n)
     bo = g.bit_offsets.astype(np.int64)
     d = scan.d.astype(np.int64)
     ref = scan.ref.astype(np.int64)
@@ -167,10 +180,10 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
         are needed (T too small)."""
         starts = np.zeros(lanes, dtype=np.int64)
         bounds = np.zeros(lanes, dtype=np.int64)
-        a = 0
+        a = node_lo
         for l in range(lanes):
             starts[l] = a
-            if a >= n:
+            if a >= node_hi:
                 bounds[l] = a
                 continue
             # budget from the overlap start (a heavy node re-decoded as
@@ -179,20 +192,23 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
             b1 = int(np.searchsorted(wc, wc[amin] + T, side="right")) - 1
             b2 = int(np.searchsorted(csr, csr[amin] + slab_cap,
                                      side="right")) - 1
-            b = max(a + 1, min(b1, b2, n))
+            b = max(a + 1, min(b1, b2, node_hi))
             bounds[l] = b
             a = b
-        return (starts, bounds) if a >= n else None
+        return (starts, bounds) if a >= node_hi else None
 
     # binary-search the smallest feasible per-lane budget; try growing
     # slab caps (the arc cap consumes lanes in arc-dense regions, forcing
     # the step budget up elsewhere) and keep the best trade
     base_cap = slab_cap
 
+    tile_work = int(wc[node_hi] - wc[node_lo])
+
     def search(cap):
         nonlocal slab_cap
         slab_cap = cap
-        lo = max(int(work.max(initial=1)), int(wc[-1] // lanes))
+        lo = max(int(work[node_lo:node_hi].max(initial=1)),
+                 tile_work // lanes)
         hi = max(int(wc[-1]), lo + 1)
         best = None
         while lo < hi:
@@ -224,10 +240,10 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
 
     if not cand:
         raise ValueError(
-            f"graph too large for a single streaming-kernel invocation "
-            f"({int(csr[-1])} arcs > ~{lanes * (slab_cap + 4096)} slab "
-            f"capacity); decode it shard-wise (parallel/shard.py) or with "
-            f"the XLA decoder")
+            f"node range too large for a single streaming-kernel "
+            f"invocation ({int(csr[node_hi] - csr[node_lo])} arcs > "
+            f"~{lanes * (slab_cap + 4096)} slab capacity); decode it "
+            f"tile-wise (decode_to_csr does this automatically)")
     cand2 = [search2(c) for c in
              {base_cap // 2, base_cap // 2 + 1024, base_cap // 2 + 2048}]
     cand2 = [c for c in cand2 if c is not None]
@@ -264,14 +280,17 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
         max_steps = int(pair_steps.max(initial=1))
     else:
         startsA, boundsA = starts1, bounds1
-        startsB = boundsB = np.full(lanes, n, dtype=np.int64)
+        startsB = boundsB = np.full(lanes, node_hi, dtype=np.int64)
         gid0 = range_data(starts1, bounds1, lanes)
-        gid0b = np.full(lanes, n, dtype=np.int64)
+        gid0b = np.full(lanes, node_hi, dtype=np.int64)
         lane_arcs = csr[boundsA] - csr[gid0]
         max_steps = int((wc[boundsA] - wc[gid0]).max(initial=1))
 
     slabw = int(lane_arcs.max(initial=0))
     slabw = max(256, -(-slabw // 128) * 128)
+    if slabw_fixed is not None:
+        assert slabw_fixed >= slabw, (slabw_fixed, slabw)
+        slabw = slabw_fixed
 
     # lane word rows: range A words, then range B words appended
     word0 = bo[gid0] >> 5
@@ -298,16 +317,18 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
 
     arcsA = csr[boundsA] - csr[gid0]
     arcsB = np.where(boundsB > startsB, csr[boundsB] - csr[gid0b], 0)
-    prow = np.zeros(n + 1, dtype=np.int64)
+    prow = np.zeros(node_hi - node_lo + 1, dtype=np.int64)
     for l in range(lanes):
         a, b = int(startsA[l]), int(boundsA[l])
         if b > a:
-            prow[a:b] = l * slabw + (csr[a:b] - csr[gid0[l]])
+            prow[a - node_lo : b - node_lo] = (
+                l * slabw + (csr[a:b] - csr[gid0[l]]))
         a2, b2 = int(startsB[l]), int(boundsB[l])
         if b2 > a2:
-            prow[a2:b2] = (l * slabw + arcsA[l]
-                           + (csr[a2:b2] - csr[gid0b[l]]))
-    prow[n] = int(csr[-1])  # sentinel; use prow[x] + d[x] for row ends
+            prow[a2 - node_lo : b2 - node_lo] = (
+                l * slabw + arcsA[l] + (csr[a2:b2] - csr[gid0b[l]]))
+    # sentinel; use prow[x - lo] + d[x] for row ends
+    prow[node_hi - node_lo] = int(csr[node_hi] - csr[node_lo])
 
     sb = int((bc + 2 * ic).max(initial=0))
     sb = max(128, -(-(sb + 8) // 128) * 128)
@@ -330,8 +351,10 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192) -> LanePlan:
         exp_wp=(arcsA + arcsB).astype(np.int64),
         prow=prow,
         n=n,
-        m=int(csr[-1]),
+        m=int(csr[node_hi] - csr[node_lo]),
         max_steps=max_steps,
+        lo=node_lo,
+        hi=node_hi,
     )
 
 
@@ -1005,8 +1028,8 @@ def build_kernel2(cfg: Cfg2):
             # fetch-serve cadence: word/side fetches on even trips, copy
             # fetches on odd trips (halves the per-trip fetch-body cost);
             # D2_EVERY=1 serves every trip (cadence experiment)
-            even_t = ((trips & 1) == 0) | jnp.bool_(_P_EVERY)
-            odd_t = ((trips & 1) == 1) | jnp.bool_(_P_EVERY)
+            even_t = ((trips & 1) == 0) | jnp.bool_(_P_EVERY or _P_NOCOND)
+            odd_t = ((trips & 1) == 1) | jnp.bool_(_P_EVERY or _P_NOCOND)
             # fetches are served on the FIRST sub-step of each trip and
             # dumps/flushes on the LAST: flagged lanes stall at most U-1
             # sub-steps, and lockstep "any lane needs it" amplification is
@@ -1027,12 +1050,14 @@ def build_kernel2(cfg: Cfg2):
             # fires nearly every trip: calling directly avoids lax.cond's
             # per-evaluation operand marshalling of the whole queue tuple
             qrw = tuple(S[f"wq{j}"] for j in range(WQ))
-            if not (_P_NOFETCH or _P_NOW):
+            if _P_NOFETCH or _P_NOW:
+                wqb = S["wqb"]
+            elif _P_NOCOND:
+                qrw, wqb = do_wfetch((qrw, S["wqb"]))
+            else:
                 qrw, wqb = jax.lax.cond(
                     even_t, do_wfetch, lambda a: a,
                     (qrw, S["wqb"]))
-            else:
-                wqb = S["wqb"]
             for j in range(WQ):
                 S[f"wq{j}"] = qrw[j]
             if cfg.debug_counters:
@@ -1059,13 +1084,16 @@ def build_kernel2(cfg: Cfg2):
 
             qrr = tuple(S[f"rq{j}"] for j in range(SQ))
             qri = tuple(S[f"iq{j}"] for j in range(SQ))
-            if not (_P_NOFETCH or _P_NOS):
+            if _P_NOFETCH or _P_NOS:
+                rqb, rqn, iqb, iqn = (S["rqb"], S["rqn"], S["iqb"],
+                                      S["iqn"])
+            elif _P_NOCOND:
+                qrr, qri, rqb, rqn, iqb, iqn = do_sfetch(
+                    (qrr, qri, S["rqb"], S["rqn"], S["iqb"], S["iqn"]))
+            else:
                 qrr, qri, rqb, rqn, iqb, iqn = jax.lax.cond(
                     even_t, do_sfetch, lambda a: a,
                     (qrr, qri, S["rqb"], S["rqn"], S["iqb"], S["iqn"]))
-            else:
-                rqb, rqn, iqb, iqn = (S["rqb"], S["rqn"], S["iqb"],
-                                      S["iqn"])
             if cfg.debug_counters:
                 smem_ref[5] = smem_ref[5] + (
                     (_any(S["rflag"]) > 0) | (_any(S["iflag"]) > 0)).astype(I32)
@@ -1137,12 +1165,14 @@ def build_kernel2(cfg: Cfg2):
                 return outq, ncqb, ncql
 
             qrc = tuple(S[f"cq{j}"] for j in range(CQ))
-            if not (_P_NOFETCH or _P_NOC):
+            if _P_NOFETCH or _P_NOC:
+                cqb, cqlim = S["cqb"], S["cqlim"]
+            elif _P_NOCOND:
+                qrc, cqb, cqlim = do_cfetch((qrc, S["cqb"], S["cqlim"]))
+            else:
                 qrc, cqb, cqlim = jax.lax.cond(
                     odd_t, do_cfetch, lambda a: a,
                     (qrc, S["cqb"], S["cqlim"]))
-            else:
-                cqb, cqlim = S["cqb"], S["cqlim"]
             for j in range(CQ):
                 S[f"cq{j}"] = qrc[j]
             if cfg.debug_counters:
@@ -1326,19 +1356,10 @@ def _u32_words(g) -> np.ndarray:
     return w32
 
 
-def prepare2(g, *, slab_cap: int = 8192, debug_counters: bool = False):
-    """Plan + pack device inputs for the streaming decoder.
-
-    Returns (cfg, plan, meta, words_lane).  Planning mirrors the load-time
-    index builds of the reference (.obl / .outdegrees, BVGraph.java:362-364)
-    and is not part of the timed decode."""
-    from webgraph_tpu.pallas.plan import scan_structure
-
-    scan = scan_structure(g)
-    plan = plan_lanes(g, scan, slab_cap=slab_cap)
-    cfg = make_cfg2(g, plan, debug_counters=debug_counters)
-
-    w32 = _u32_words(g)
+def pack2(g, plan: LanePlan, w32: np.ndarray | None = None):
+    """Pack the (meta, words_lane) device inputs for one planned tile."""
+    if w32 is None:
+        w32 = _u32_words(g)
     bo = g.bit_offsets.astype(np.int64)
     words_lane = np.zeros((LANES, plan.lw), dtype=np.uint32)
     for l in range(LANES):
@@ -1368,7 +1389,63 @@ def prepare2(g, *, slab_cap: int = 8192, debug_counters: bool = False):
     meta[12] = plan.bit0b.reshape(GROUPS, GLANES)
     for j in range(7):
         meta[13 + j] = plan.d7b[j].reshape(GROUPS, GLANES)
+    return meta, words_lane
+
+
+def prepare2(g, *, slab_cap: int = 8192, debug_counters: bool = False):
+    """Plan + pack device inputs for a single-invocation streaming decode.
+
+    Returns (cfg, plan, meta, words_lane).  Planning mirrors the load-time
+    index builds of the reference (.obl / .outdegrees, BVGraph.java:362-364)
+    and is not part of the timed decode."""
+    from webgraph_tpu.pallas.plan import scan_structure
+
+    scan = scan_structure(g)
+    plan = plan_lanes(g, scan, slab_cap=slab_cap)
+    cfg = make_cfg2(g, plan, debug_counters=debug_counters)
+    meta, words_lane = pack2(g, plan)
     return cfg, plan, meta, words_lane
+
+
+def plan_tiles(g, scan, *, slab_cap: int = 8192,
+               tile_arcs: int | None = None,
+               num_tiles: int | None = None) -> list[LanePlan]:
+    """Split [0, n) into node tiles that each fit one kernel invocation and
+    plan them with a COMMON (slabw, lw, sb, trip bound) so every tile runs
+    the same compiled kernel.  Cross-tile reference chains need no protocol:
+    each lane re-decodes its own ancestor overlap, which may reach into the
+    previous tile (the per-lane analog of the reference's mid-graph window
+    priming, BVGraph.java:1173-1183)."""
+    n = g.num_nodes()
+    d = scan.d.astype(np.int64)
+    csr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(d, out=csr[1:])
+    m = int(csr[-1])
+    if num_tiles is None:
+        cap = tile_arcs if tile_arcs else LANES * (slab_cap // 2)
+        num_tiles = max(1, -(-m // cap))
+    # boundaries at arc quantiles (arc-balanced tiles)
+    targets = (np.arange(1, num_tiles) * m) // num_tiles
+    bounds = np.concatenate(
+        [[0], np.searchsorted(csr, targets, side="left"), [n]])
+    bounds = np.unique(bounds)
+    plans = [
+        plan_lanes(g, scan, slab_cap=slab_cap,
+                   node_range=(int(a), int(b)))
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    slabw = max(p.slabw for p in plans)
+    lw = max(p.lw for p in plans)
+    sb = max(p.sb for p in plans)
+    out = []
+    for p, (a, b) in zip(plans, zip(bounds[:-1], bounds[1:])):
+        if p.slabw != slabw:  # re-plan with the common slab width (prow
+            p = plan_lanes(g, scan, slab_cap=slab_cap,  # depends on it)
+                           node_range=(int(a), int(b)), slabw_fixed=slabw)
+        p.lw = lw
+        p.sb = sb
+        out.append(p)
+    return out
 
 
 def decode_to_slab(g, *, interpret: bool | None = None,
@@ -1385,32 +1462,56 @@ def decode_to_slab(g, *, interpret: bool | None = None,
 
 
 def decode_to_csr(g, *, interpret: bool | None = None,
-                  slab_cap: int = 8192):
+                  slab_cap: int = 8192, tile_arcs: int | None = None):
     """Decode via the streaming kernel; return (offsets int64[n+1],
     successors int32[m]) identical to bvgraph_np.decode_to_csr.
 
-    The flat-CSR compaction is a host-side convenience for tests; the
-    kernel's native output (slab + plan.prow) is itself a constant-time
-    random-access representation."""
-    plan, slab, wp, _ = decode_to_slab(g, interpret=interpret,
-                                       slab_cap=slab_cap)
-    exp = plan.exp_wp
-    if not np.array_equal(wp[: len(exp)], exp):
-        bad = np.flatnonzero(wp[: len(exp)] != exp)[:8]
-        raise AssertionError(
-            f"lane emission counts off at lanes {bad}: "
-            f"{wp[bad]} vs {exp[bad]}")
-    n, m = plan.n, plan.m
+    Graphs whose output exceeds one invocation's VMEM slab are decoded as
+    a sequence of node tiles through ONE compiled kernel (plan_tiles) —
+    the unbounded-size analog of the reference's sequential decode
+    (BVGraph.java:1136-1281).  The flat-CSR compaction is a host-side
+    convenience for tests; the kernel's native output (slab + plan.prow)
+    is itself a constant-time random-access representation."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     from webgraph_tpu.pallas.plan import scan_structure
 
-    flatslab = slab.reshape(-1)
+    scan = scan_structure(g)
+    if tile_arcs is None:
+        try:
+            tiles = [plan_lanes(g, scan, slab_cap=slab_cap)]
+        except ValueError:
+            tiles = plan_tiles(g, scan, slab_cap=slab_cap)
+    else:
+        tiles = plan_tiles(g, scan, slab_cap=slab_cap, tile_arcs=tile_arcs)
+    worst = max(tiles, key=lambda p: p.max_steps)
+    cfg = make_cfg2(g, worst)
+    fn = _compiled2(cfg, bool(interpret))
+
+    n = g.num_nodes()
+    dd = scan.d.astype(np.int64)
     offsets = np.zeros(n + 1, dtype=np.int64)
-    dd = scan_structure(g).d.astype(np.int64)
     np.cumsum(dd, out=offsets[1:])
-    # vectorized ragged gather: node x's row lives at slab[prow[x] ...]
-    take = np.repeat(plan.prow[:n], dd) + (
-        np.arange(m) - np.repeat(offsets[:n], dd))
-    succ = flatslab[take].astype(np.int32)
+    succ = np.empty(int(offsets[-1]), dtype=np.int32)
+    w32 = _u32_words(g)
+    for plan in tiles:
+        meta, words = pack2(g, plan, w32)
+        slab, wp, dbg, dump = fn(jnp.asarray(meta), jnp.asarray(words))
+        wp = np.asarray(wp).reshape(-1)
+        exp = plan.exp_wp
+        if not np.array_equal(wp[: len(exp)], exp):
+            bad = np.flatnonzero(wp[: len(exp)] != exp)[:8]
+            raise AssertionError(
+                f"lane emission counts off at lanes {bad} "
+                f"(tile [{plan.lo}, {plan.hi})): {wp[bad]} vs {exp[bad]}")
+        flat = np.asarray(slab).reshape(-1)
+        lo, hi = plan.lo, plan.hi
+        base = int(offsets[lo])
+        mt = int(offsets[hi]) - base
+        # vectorized ragged gather: node x's row lives at slab[prow[x-lo]…]
+        take = np.repeat(plan.prow[: hi - lo], dd[lo:hi]) + (
+            np.arange(mt) - np.repeat(offsets[lo:hi] - base, dd[lo:hi]))
+        succ[base : base + mt] = flat[take]
     return offsets, succ
 
 
@@ -1425,10 +1526,8 @@ def supports(g, *, max_reach: int = 256) -> bool:
         s.block_coding, s.residual_coding))
     if not (ok_codings and s.window_size <= 7):
         return False
-    if g.num_arcs() > LANES * 12288:
-        # one invocation's VMEM slab cannot hold the output; decode
-        # shard-wise (parallel/shard.py splits until each shard fits)
-        return False
+    # no size limit: graphs beyond one invocation's VMEM slab are decoded
+    # as a sequence of node tiles (plan_tiles / decode_to_csr)
     if s.max_ref_count >= 0 and s.window_size * max(s.max_ref_count, 1) \
             <= max_reach:
         return True

@@ -173,11 +173,86 @@ def plan_node_shards(g, num_shards: int) -> ShardPlan:
     )
 
 
+def decode_to_csr_sharded_v6(g, mesh: Mesh):
+    """Node-range sharded decode through the STREAMING (v6) kernel: each
+    device runs one tile of the same compiled Pallas kernel under
+    ``shard_map`` (the tile planner already gives every tile common static
+    shapes).  Cross-shard reference chains are handled per-lane by ancestor
+    overlap — zero communication during decode (the SPMD analog of
+    splitNodeIterators, ImmutableGraph.java:379-409).
+
+    Returns ``(offsets int64[n+1], succ int32[m], tiles)``."""
+    from jax import shard_map
+
+    from webgraph_tpu.pallas import decode2 as D2
+    from webgraph_tpu.pallas.plan import scan_structure as scan2
+
+    axis = mesh.axis_names[0]
+    S = mesh.devices.size
+    scan = scan2(g)
+    tiles = D2.plan_tiles(g, scan, num_tiles=S)
+    n = g.num_nodes()
+    while len(tiles) < S:  # degenerate boundaries on tiny graphs: pad
+        tiles.append(D2.plan_lanes(g, scan, node_range=(n, n),
+                                   slabw_fixed=tiles[0].slabw))
+        tiles[-1].lw = tiles[0].lw
+        tiles[-1].sb = tiles[0].sb
+    worst = max(tiles, key=lambda p: p.max_steps)
+    cfg = D2.make_cfg2(g, worst)
+    interpret = jax.default_backend() == "cpu"
+    fn = D2._compiled2(cfg, interpret)
+
+    w32 = D2._u32_words(g)
+    packed = [D2.pack2(g, p, w32) for p in tiles]
+    meta = np.stack([mw[0] for mw in packed])          # (S, 32, 8, 128)
+    words = np.stack([mw[1] for mw in packed])         # (S, 1024, lw)
+
+    smap = shard_map(
+        lambda m_, w_: fn(m_[0], w_[0])[:2],
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    slab, wp = jax.jit(smap)(jnp.asarray(meta), jnp.asarray(words))
+    slab = np.asarray(slab).reshape(S, D2.LANES, cfg.slabw)
+    wp = np.asarray(wp).reshape(S, -1)
+
+    dd = scan.d.astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dd, out=offsets[1:])
+    succ = np.empty(int(offsets[-1]), dtype=np.int32)
+    for sh, plan in enumerate(tiles):
+        exp = plan.exp_wp
+        assert np.array_equal(wp[sh, : len(exp)], exp), \
+            f"shard {sh} lane emission counts disagree with the plan"
+        lo, hi = plan.lo, plan.hi
+        if hi <= lo:
+            continue
+        flat = slab[sh].reshape(-1)
+        base = int(offsets[lo])
+        mt = int(offsets[hi]) - base
+        take = np.repeat(plan.prow[: hi - lo], dd[lo:hi]) + (
+            np.arange(mt) - np.repeat(offsets[lo:hi] - base, dd[lo:hi]))
+        succ[base : base + mt] = flat[take]
+    return offsets, succ, tiles
+
+
 def decode_to_csr_sharded(g, mesh: Mesh, plan: ShardPlan | None = None):
     """Decode one BVGraph with its node range sharded over ``mesh``'s first
     axis; returns host-reassembled ``(offsets int64[n+1], succ int32[m])``
-    plus the plan (for tests/benchmarks)."""
+    plus the plan (for tests/benchmarks).
+
+    Dispatch: the streaming (v6) Pallas kernel whenever it supports the
+    graph's configuration (decode2.supports), else the fused-XLA work-queue
+    decoder (every CompressionFlags coding)."""
     from jax import shard_map
+
+    if plan is None:
+        from webgraph_tpu.pallas import decode2 as D2
+
+        if D2.supports(g):
+            return decode_to_csr_sharded_v6(g, mesh)
 
     axis = mesh.axis_names[0]
     S = mesh.devices.size
