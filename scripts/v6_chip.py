@@ -62,8 +62,9 @@ def main():
           f"({s0} vs {expect})")
     dbg = np.asarray(dbg).reshape(-1)
     if counters:
-        print(f"substeps={dbg[8]} sdump_ev={dbg[1]} flush_ev={dbg[2]} "
-              f"cfetch_ev={dbg[3]} wfetch_ev={dbg[4]} sfetch_ev={dbg[5]}")
+        print(f"trips={dbg[8]} sdump_ev={dbg[1]} flush_ev={dbg[2]} "
+              f"cfetch_ev={dbg[3]} wfetch_ev={dbg[4]} sfetch_ev={dbg[5]} "
+              f"far_fires={dbg[6]}")
     else:
         print("trips:", dbg[0])
     if not (ok_wp and s0 == expect):

@@ -24,6 +24,9 @@ VARIANTS = {
     "noc": {"D2_NOC": "1"},
     "nos": {"D2_NOS": "1"},
     "nocond": {"D2_NOCOND": "1"},
+    "nofar": {"D2_NOFAR": "1"},
+    "greedy": {"D2_GREEDY": "1"},
+    "greedy_u8": {"D2_GREEDY": "1", "D2_U": "8", "D2_UIN": "8"},
 }
 
 

@@ -88,3 +88,42 @@ def test_sumsweep_device_sweeps_match_host():
     b.compute()
     assert (a.get_diameter(), a.get_radius()) == \
         (b.get_diameter(), b.get_radius())
+
+
+def test_nf_batches_inside_one_jit(graph):
+    """make_nf_batches (the fori-inside-jit shape: one dispatch for many
+    64-source batches) agrees with per-batch nf64 and with the host NF."""
+    from webgraph_tpu.algo.device import make_nf_batches, \
+        neighbourhood_function_device
+    from webgraph_tpu.algo.nf import NeighbourhoodFunction
+
+    g, off, succ, csr = graph
+    n = g.num_nodes()
+    cap = 32
+    run = make_nf_batches(csr, cap)
+    nb = -(-n // 64)
+    counts, deepest = run(0, nb)
+    counts = np.asarray(counts, dtype=np.float64)
+    for b in range(nb):
+        srcs = np.arange(b * 64, min(b * 64 + 64, n))
+        c1, _, _ = nf64(csr, srcs, max_iters=cap)
+        np.testing.assert_array_equal(counts[b], np.asarray(c1))
+    total = neighbourhood_function_device(csr, max_iters=cap)
+    host = NeighbourhoodFunction.compute(g)
+    np.testing.assert_allclose(total, host)
+
+
+def test_geometric_centralities_device(graph):
+    """Bit-parallel device geometric centralities == host per-source BFS
+    implementation (GeometricCentralities.java:70 exact definitions)."""
+    from webgraph_tpu.algo.centralities import GeometricCentralities
+    from webgraph_tpu.algo.device import geometric_centralities_device
+
+    g, off, succ, csr = graph
+    host = GeometricCentralities(g, alpha=0.5).compute()
+    clo, har, lin, exp, reach = geometric_centralities_device(csr, alpha=0.5)
+    np.testing.assert_array_equal(reach, host.reachable)
+    np.testing.assert_allclose(clo, host.closeness, rtol=1e-6)
+    np.testing.assert_allclose(har, host.harmonic, rtol=1e-5)
+    np.testing.assert_allclose(lin, host.lin, rtol=1e-6)
+    np.testing.assert_allclose(exp, host.exponential, rtol=1e-4)

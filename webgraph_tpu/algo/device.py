@@ -23,6 +23,8 @@ NumPy implementations (algo/bfs.py, algo/nf.py).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -166,20 +168,219 @@ def nf64(csr: DeviceCSR, sources, max_iters: int | None = None):
     return run(init)
 
 
-def neighbourhood_function_device(csr: DeviceCSR, max_iters: int | None = None):
-    """Exact NF by batches of 64 bit-parallel sources (device path of
-    algo/nf.py).  Returns float64[t] cumulative pair counts."""
+def make_nf_batches(csr: DeviceCSR, cap: int):
+    """Compile ONE program that runs `nbatch` consecutive 64-source
+    bit-parallel NF batches with the batch loop INSIDE the jit (a
+    `fori_loop` over batch index — n/64 host dispatches collapse to one;
+    the round-4 per-batch dispatch cost ~27 ms on this backend made the
+    old shape unusable).  Returns run(start_batch, nbatch) ->
+    (counts int32[nbatch, cap+1], deepest int32).
+
+    Reference decomposition: NeighbourhoodFunction.java:100/118 farms one
+    BFS per source across threads; here each batch is 64 sources bit-packed
+    into uint32x2 reach masks propagated arc-parallel."""
+    n = csr.n
+    src_by_dst, seg_start, last_in = (csr.src_by_dst, csr.seg_start,
+                                      csr.last_in)
+    # constant (64, 2) rows: row i sets bit i
+    rows = np.zeros((64, 2), dtype=np.uint32)
+    for i in range(64):
+        rows[i, i // 32] = np.uint32(1) << np.uint32(i % 32)
+    rows = jnp.asarray(rows)
+
+    def popcnt(x):
+        return jax.lax.population_count(x.astype(jnp.uint32)).astype(I32)
+
+    def tot(masks):
+        return jnp.sum(popcnt(masks[:, 0]) + popcnt(masks[:, 1]))
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(start_batch, nbatch):
+        def one_batch(b, acc):
+            counts_all, deepest = acc
+            sources = (start_batch + b) * 64 + jnp.arange(64, dtype=I32)
+            sources = jnp.where(sources < n, sources, n)  # OOB -> dropped
+            masks = jnp.zeros((n, 2), jnp.uint32).at[sources].max(
+                rows, mode="drop")
+
+            def body(st):
+                masks, counts, it, _ = st
+                vals0 = masks[src_by_dst, 0]
+                vals1 = masks[src_by_dst, 1]
+                or0 = _seg_or_scan(vals0, seg_start)
+                or1 = _seg_or_scan(vals1, seg_start)
+                upd0 = jnp.where(last_in >= 0,
+                                 or0[jnp.maximum(last_in, 0)], 0)
+                upd1 = jnp.where(last_in >= 0,
+                                 or1[jnp.maximum(last_in, 0)], 0)
+                new = jnp.stack([masks[:, 0] | upd0, masks[:, 1] | upd1],
+                                axis=1)
+                t = tot(new)
+                changed = t > counts[it]
+                counts = counts.at[it + 1].set(t)
+                return new, counts, it + 1, changed.astype(I32)
+
+            def cond(st):
+                _, _, it, changed = st
+                return (changed > 0) & (it < cap)
+
+            counts0 = jnp.zeros(cap + 1, dtype=I32).at[0].set(tot(masks))
+            _, counts, it, _ = jax.lax.while_loop(
+                cond, body, (masks, counts0, jnp.int32(0), jnp.int32(1)))
+            idx = jnp.arange(cap + 1)
+            counts = jnp.where(idx > it, counts[it], counts)
+            return counts_all.at[b].set(counts), jnp.maximum(deepest, it)
+
+        counts_all = jnp.zeros((nbatch, cap + 1), dtype=I32)
+        return jax.lax.fori_loop(0, nbatch, one_batch,
+                                 (counts_all, jnp.int32(0)))
+
+    return run
+
+
+def neighbourhood_function_device(csr: DeviceCSR, max_iters: int | None = None,
+                                  batches_per_dispatch: int = 64):
+    """Exact NF by 64-source bit-parallel batches, `batches_per_dispatch`
+    of them per device dispatch (device path of algo/nf.py).  Returns
+    float64[t] cumulative pair counts."""
     n = csr.n
     cap = int(max_iters if max_iters is not None else n)
+    nbatches = -(-n // 64)
+    run = make_nf_batches(csr, cap)
     total = np.zeros(cap + 1, dtype=np.float64)
     deepest = 0
-    for base in range(0, n, 64):
-        srcs = np.arange(base, min(base + 64, n))
-        counts, _, it = nf64(csr, srcs, max_iters=cap)
-        counts = np.asarray(counts, dtype=np.float64)
-        total += counts
+    for start in range(0, nbatches, batches_per_dispatch):
+        k = min(batches_per_dispatch, nbatches - start)
+        counts, it = run(jnp.int32(start), k)
+        total += np.asarray(counts, dtype=np.float64).sum(axis=0)
         deepest = max(deepest, int(it))
-    return total[: deepest + 1]
+    total = total[: deepest + 1]
+    while len(total) > 1 and total[-1] == total[-2]:  # drop the no-change
+        total = total[:-1]                            # convergence probe
+    return total
+
+
+def make_geometric_batches(csr: DeviceCSR, cap: int, alpha: float = 0.5):
+    """Bit-parallel device geometric centralities: one program runs
+    `nbatch` 64-source reachability batches (fori inside jit) and
+    accumulates, per SOURCE, the distance moments Brandes-free geometric
+    centralities need (GeometricCentralities.java:70/211 runs one BFS per
+    node on a thread pool; here 64 sources are bit-packed per batch):
+
+      reach[s]    = #{y != s : d(s,y) < inf}
+      sumdist[s]  = sum_y d(s,y)
+      sumrecip[s] = sum_y 1/d(s,y)          (harmonic, float32)
+      sumexp[s]   = sum_y alpha^d(s,y)      (exponential, float32)
+
+    Returns run(start_batch, nbatch) -> (reach i32[nbatch*64],
+    sumdist i32[nbatch*64], sumrecip f32[nbatch*64], sumexp f32[nbatch*64]).
+    closeness/lin derive from these on host (algo/centralities formulas)."""
+    n = csr.n
+    src_by_dst, seg_start, last_in = (csr.src_by_dst, csr.seg_start,
+                                      csr.last_in)
+    rows = np.zeros((64, 2), dtype=np.uint32)
+    for i in range(64):
+        rows[i, i // 32] = np.uint32(1) << np.uint32(i % 32)
+    rows = jnp.asarray(rows)
+
+    def perbit_counts(new0, new1):
+        """int32[64]: number of nodes whose bit i is set in (new0, new1)."""
+        out = []
+        for w, word in enumerate((new0, new1)):
+            for i in range(32):
+                out.append(jnp.sum(
+                    ((word >> jnp.uint32(i)) & jnp.uint32(1)).astype(I32)))
+        return jnp.stack(out)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(start_batch, nbatch):
+        def one_batch(b, acc):
+            reach_a, dist_a, recip_a, exp_a = acc
+            sources = (start_batch + b) * 64 + jnp.arange(64, dtype=I32)
+            sources = jnp.where(sources < n, sources, n)
+            masks = jnp.zeros((n, 2), jnp.uint32).at[sources].max(
+                rows, mode="drop")
+
+            def body(st):
+                masks, reach, sumd, sumr, sume, it, _ = st
+                vals0 = masks[src_by_dst, 0]
+                vals1 = masks[src_by_dst, 1]
+                or0 = _seg_or_scan(vals0, seg_start)
+                or1 = _seg_or_scan(vals1, seg_start)
+                upd0 = jnp.where(last_in >= 0,
+                                 or0[jnp.maximum(last_in, 0)], 0)
+                upd1 = jnp.where(last_in >= 0,
+                                 or1[jnp.maximum(last_in, 0)], 0)
+                nb0 = upd0 & ~masks[:, 0]
+                nb1 = upd1 & ~masks[:, 1]
+                cnew = perbit_counts(nb0, nb1)          # per-source @ dist it+1
+                d = (it + 1).astype(jnp.float32)
+                cf = cnew.astype(jnp.float32)
+                reach = reach + cnew
+                sumd = sumd + cnew * (it + 1)
+                sumr = sumr + cf / d
+                sume = sume + cf * jnp.power(jnp.float32(alpha), d)
+                masks = jnp.stack([masks[:, 0] | nb0, masks[:, 1] | nb1],
+                                  axis=1)
+                changed = jnp.sum(cnew) > 0
+                return (masks, reach, sumd, sumr, sume, it + 1,
+                        changed.astype(I32))
+
+            def cond(st):
+                return (st[6] > 0) & (st[5] < cap)
+
+            z64 = jnp.zeros(64, I32)
+            zf = jnp.zeros(64, jnp.float32)
+            _, reach, sumd, sumr, sume, _, _ = jax.lax.while_loop(
+                cond, body,
+                (masks, z64, z64, zf, zf, jnp.int32(0), jnp.int32(1)))
+            return (reach_a.at[b].set(reach), dist_a.at[b].set(sumd),
+                    recip_a.at[b].set(sumr), exp_a.at[b].set(sume))
+
+        acc0 = (jnp.zeros((nbatch, 64), I32), jnp.zeros((nbatch, 64), I32),
+                jnp.zeros((nbatch, 64), jnp.float32),
+                jnp.zeros((nbatch, 64), jnp.float32))
+        reach, sumd, sumr, sume = jax.lax.fori_loop(0, nbatch, one_batch,
+                                                    acc0)
+        return (reach.reshape(-1), sumd.reshape(-1), sumr.reshape(-1),
+                sume.reshape(-1))
+
+    return run
+
+
+def geometric_centralities_device(csr: DeviceCSR, *, alpha: float = 0.5,
+                                  max_iters: int | None = None,
+                                  batches_per_dispatch: int = 64):
+    """Device path of algo/centralities.geometric_centralities: closeness,
+    harmonic, Lin, exponential and reachable counts for every node, via
+    bit-parallel 64-source BFS batches looped inside the jit.
+
+    Returns (closeness, harmonic, lin, exponential, reachable) float64
+    arrays matching the host GeometricCentralities fields exactly
+    (reachable INCLUDES the source itself, the reference convention)."""
+    n = csr.n
+    cap = int(max_iters if max_iters is not None else n)
+    run = make_geometric_batches(csr, cap, alpha)
+    nbatches = -(-n // 64)
+    reach = np.zeros(nbatches * 64, dtype=np.int64)
+    sumd = np.zeros(nbatches * 64, dtype=np.int64)
+    sumr = np.zeros(nbatches * 64, dtype=np.float64)
+    sume = np.zeros(nbatches * 64, dtype=np.float64)
+    for start in range(0, nbatches, batches_per_dispatch):
+        k = min(batches_per_dispatch, nbatches - start)
+        r, d, h, e = run(jnp.int32(start), k)
+        sl = slice(start * 64, start * 64 + k * 64)
+        reach[sl] = np.asarray(r)
+        sumd[sl] = np.asarray(d)
+        sumr[sl] = np.asarray(h)
+        sume[sl] = np.asarray(e)
+    reach, sumd, sumr, sume = reach[:n], sumd[:n], sumr[:n], sume[:n]
+    closeness = np.where(sumd > 0, 1.0 / np.where(sumd > 0, sumd, 1), 0.0)
+    harmonic = sumr
+    reachable = reach + 1  # reference convention: self counts
+    lin = np.where(sumd > 0, reachable.astype(np.float64) ** 2
+                   / np.where(sumd > 0, sumd, 1), 1.0)
+    return closeness, harmonic, lin, sume, reachable
 
 
 def eccentricity(csr: DeviceCSR, source: int) -> int:

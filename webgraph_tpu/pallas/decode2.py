@@ -81,6 +81,9 @@ _P_BODY = int(os.environ.get("D2_BODY", "9"))  # body bisection stage
 _P_SINGLE = bool(os.environ.get("D2_SINGLE"))  # one inner block per trip
 _P_EVERY = bool(os.environ.get("D2_EVERY"))    # serve fetches every trip
 _P_NOCOND = bool(os.environ.get("D2_NOCOND"))  # fetch bodies without lax.cond
+_P_GREEDY = bool(os.environ.get("D2_GREEDY"))  # refill queues every trip,
+#   for every active lane (not just flagged) — trades fetch-body fires for
+#   the elimination of flag->serve stall latency
 
 
 # ----------------------------------------------------------------------
@@ -1028,8 +1031,9 @@ def build_kernel2(cfg: Cfg2):
             # fetch-serve cadence: word/side fetches on even trips, copy
             # fetches on odd trips (halves the per-trip fetch-body cost);
             # D2_EVERY=1 serves every trip (cadence experiment)
-            even_t = ((trips & 1) == 0) | jnp.bool_(_P_EVERY or _P_NOCOND)
-            odd_t = ((trips & 1) == 1) | jnp.bool_(_P_EVERY or _P_NOCOND)
+            always = _P_EVERY or _P_NOCOND or _P_GREEDY
+            even_t = ((trips & 1) == 0) | jnp.bool_(always)
+            odd_t = ((trips & 1) == 1) | jnp.bool_(always)
             # fetches are served on the FIRST sub-step of each trip and
             # dumps/flushes on the LAST: flagged lanes stall at most U-1
             # sub-steps, and lockstep "any lane needs it" amplification is
@@ -1038,7 +1042,10 @@ def build_kernel2(cfg: Cfg2):
             # ---- word-queue refill (flagged lanes) ----------------------
             def do_wfetch(args):
                 qr, wqb = args
-                need = S["wflag"] > 0
+                if _P_GREEDY:
+                    need = S["st"] != S_DONE
+                else:
+                    need = S["wflag"] > 0
                 base = jnp.where(need, S["nw"], wqb)
                 idx = jnp.clip(flat(base).T + iotaq(128), 0, LW - 1)
                 got = gather_chunks(words_ref, idx, LW)
@@ -1107,7 +1114,12 @@ def build_kernel2(cfg: Cfg2):
             # ---- copy-queue fetch ---------------------------------------
             def do_cfetch(args):
                 qr, cqb, cqlim = args
-                need = S["cflag"] > 0
+                if _P_GREEDY:
+                    need = (S["cflag"] > 0) | (
+                        (S["st"] == S_MRG) & (S["crem"] > 0)
+                        & (S["kld"] == 1))
+                else:
+                    need = S["cflag"] > 0
                 base = jnp.where(need, S["pb"] + S["cp"], cqb)
                 bT = flat(base).T
                 idxQ = jnp.clip(bT + iotaq(128), 0, INF)
@@ -1126,29 +1138,32 @@ def build_kernel2(cfg: Cfg2):
                 ringv = gather_chunks(ring_ref, idxQ & 1023, 1024)
 
                 def far(_):
-                    # sequential 128-chunk walk with per-chunk skip (an
-                    # unrolled 58-chunk gather chain exhausts scoped VMEM;
-                    # only a handful of chunks are hit per event)
+                    # bounded cond-free chunk walk: a lane's 32-slot query
+                    # spans <= 2 slab chunks (copy sources are contiguous),
+                    # so [cmin, cmax] is tiny; the round-4 full-width walk
+                    # (58 chunks x per-chunk lax.cond over the 128-vreg
+                    # accumulator) cost ~46 us PER FIRE = 26% of the whole
+                    # decode (sweep r5: base 47.7 vs nofar 35.8 us/trip)
                     idxF = jnp.clip(idxQ, 0, SLABW - 1)
                     needF = needT & ~use_mid & ~use_ring
+                    nchunks = SLABW // 128
+                    cmin = jnp.min(jnp.where(needF, idxF >> 7, nchunks - 1))
+                    cmax = jnp.max(jnp.where(needF, idxF >> 7, 0))
 
                     def body(c, acc):
                         inc = (idxF >> 7) == c
-                        hit = _any((needF & inc).astype(I32))
+                        sl = slab_ref[:, pl.ds(c * 128, 128)]
+                        g = jnp.take_along_axis(
+                            sl, jnp.clip(idxF - c * 128, 0, 127), axis=1)
+                        return jnp.where(inc, g, acc)
 
-                        def take(a):
-                            sl = slab_ref[:, pl.ds(c * 128, 128)]
-                            g = jnp.take_along_axis(
-                                sl, jnp.clip(idxF - c * 128, 0, 127), axis=1)
-                            return jnp.where(inc, g, a)
-
-                        return jax.lax.cond(hit > 0, take, lambda a: a, acc)
-
-                    return jax.lax.fori_loop(0, SLABW // 128, body, midv)
+                    return jax.lax.fori_loop(cmin, cmax + 1, body, midv)
 
                 needT = flat(need.astype(I32)).T > 0
                 any_far = _any((needT & ~use_mid & ~use_ring)
                                .astype(I32)) > 0
+                if cfg.debug_counters:
+                    smem_ref[6] = smem_ref[6] + any_far.astype(I32)
                 # the no-far branch returns midv (concrete layout — a zero
                 # splat's replicated layout cannot join the gather branch);
                 # its value is unused because mid/ring cover every slot then
