@@ -47,3 +47,41 @@ def test_symmetrize_device_matches_host(g):
     roff, rsucc = ref.to_csr()
     np.testing.assert_array_equal(off, roff)
     np.testing.assert_array_equal(succ, rsucc)
+
+
+def test_config4_pipeline_device(g, tmp_path):
+    """BASELINE config 4 composition with the data path on device:
+    decode -> device transpose -> device gray-permute apply -> device
+    recompress; byte-identical to the host pipeline (Transform.java
+    transpose/permutations + BVGraph.store).  Permutation KEY GENERATION
+    (the Gray column-refinement sort) stays host-side planning."""
+    import os
+
+    from webgraph_tpu.formats import bvgraph_jax_encode as E
+    from webgraph_tpu.formats.bvgraph import BVGraph
+    from webgraph_tpu.graph.csr import CSRGraph
+
+    # device transpose leg
+    off_t, succ_t = transpose_device(g)
+    gt_host = T.transpose(g)
+    roff, rsucc = gt_host.to_csr()
+    np.testing.assert_array_equal(off_t, roff)
+    np.testing.assert_array_equal(succ_t, rsucc)
+
+    # device permute-apply leg (gray keys from host planning)
+    perm = T.gray_code_permutation(g)
+    off_p, succ_p = map_device(g, perm)
+    gp_host = T.map_graph(g, perm)
+    poff, psucc = gp_host.to_csr()
+    np.testing.assert_array_equal(off_p, poff)
+    np.testing.assert_array_equal(succ_p, psucc)
+
+    # device recompress leg: bytes == host encoder bytes
+    base = os.path.join(tmp_path, "host")
+    BVGraph.store(CSRGraph(poff, psucc), base)
+    host_bytes = open(base + ".graph", "rb").read()
+    from webgraph_tpu.formats.bvgraph import BVGraphSettings
+
+    gb, _gbits, _ob, _obits, _st = E.encode_device(
+        off_p, succ_p, BVGraphSettings())
+    assert gb == host_bytes
