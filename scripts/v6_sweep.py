@@ -27,6 +27,7 @@ VARIANTS = {
     "nofar": {"D2_NOFAR": "1"},
     "greedy": {"D2_GREEDY": "1"},
     "greedy_u8": {"D2_GREEDY": "1", "D2_U": "8", "D2_UIN": "8"},
+    "greedy_cf2": {"D2_GREEDY": "1", "D2_CF2": "1"},
 }
 
 

@@ -42,3 +42,51 @@ def test_ef_device_decode_quantum_sweep(tmp_path):
         doff, dsucc = decode_to_csr_device(ef)
         np.testing.assert_array_equal(doff, toff)
         np.testing.assert_array_equal(dsucc, tsucc)
+
+
+def test_ef_device_decode_skewed_degrees(tmp_path):
+    """Web-graph-like degree skew: the bit-parallel decoder has no
+    per-outdegree lockstep, so one heavy node must not serialize anything
+    (the round-4 max-outdegree fori is gone)."""
+    from webgraph_tpu.graph.csr import CSRGraph
+
+    rng = np.random.default_rng(7)
+    lists = []
+    for x in range(500):
+        if x == 250:  # one huge list
+            lists.append(sorted(rng.choice(5000, size=2000, replace=False)))
+        elif x % 11 == 0:
+            lists.append([])
+        else:
+            lists.append(sorted(set(rng.integers(0, 5000, size=rng.integers(1, 8)))))
+    lists += [[] for _ in range(5000 - len(lists))]  # pad to n=5000
+    g = CSRGraph.from_lists(lists)
+    base = os.path.join(tmp_path, "ef")
+    EFGraph.store(g, base)
+    ef = EFGraph.load(base)
+    hoff, hsucc = ef.decode_to_csr()
+    doff, dsucc = decode_to_csr_device(ef)
+    np.testing.assert_array_equal(doff, hoff)
+    np.testing.assert_array_equal(dsucc, hsucc)
+
+
+def test_ef_device_skip_to_batch(tmp_path):
+    """Device batched adjacency (skip pointers + bounded unary scan) ==
+    host skip_to / skip_to_batch (EliasFanoSuccessorReader.skipTo,
+    EFGraph.java:1147)."""
+    from webgraph_tpu.formats.efgraph_jax import skip_to_batch_device
+
+    g = MutableGraph.erdos_renyi(600, 0.05, seed=3)
+    base = os.path.join(tmp_path, "ef")
+    EFGraph.store(g, base, log2_quantum=4)  # small quantum: pointers used
+    ef = EFGraph.load(base)
+    rng = np.random.default_rng(1)
+    Q = 512
+    xs = rng.integers(0, 600, size=Q)
+    bounds = rng.integers(0, 650, size=Q)
+    host = ef.skip_to_batch(xs, bounds)
+    dev = skip_to_batch_device(ef, xs, bounds)
+    np.testing.assert_array_equal(dev, host)
+    # scalar oracle spot checks
+    for j in range(0, Q, 37):
+        assert int(dev[j]) == ef.skip_to(int(xs[j]), int(bounds[j]))

@@ -384,6 +384,52 @@ class EFGraph(ImmutableGraph):
         mask = (np.uint64(1) << np.asarray(width, dtype=np.uint64)) - np.uint64(1)
         return ((lo | hi) & mask).astype(np.int64)
 
+    def structure_index(self):
+        """Vectorized per-node structure scan, cached on the instance — the
+        load-time index analog of the reference's offset list (.obl,
+        EFGraph.java:82-94): returns dict of int64 arrays
+        (d, l, ptr_size, n_ptrs, ptr_base, lower_base, upper_base).
+        One gamma decode per node, all nodes in lockstep (replaces the
+        O(n) scalar _reader loops of the bulk/batched paths)."""
+        idx = getattr(self, "_struct_index", None)
+        if idx is not None:
+            return idx
+        n = self._n
+        u = self.upper_bound
+        pos = self.bit_offsets[:n].astype(np.int64)
+        act = np.ones(n, dtype=bool)
+        msb, pos2 = self._vunary(pos, act)
+        rest = self._vextract(pos2, msb)
+        d = ((np.int64(1) << msb) | rest) - 1
+        ptr_base = pos2 + msb
+        length_c = d + 1
+        # lowerBits / pointerSize / numberOfPointers (EFGraph.java:145-171);
+        # msb via frexp (exact: all operands < 2^53)
+        q = u // np.maximum(length_c, 1)
+        l = np.where(q > 0,
+                     np.frexp(q.astype(np.float64))[1] - 1,
+                     0).astype(np.int64)
+        v = length_c + (u >> l)
+        vb = np.maximum(v - 1, 0)
+        ptr_size = np.where(
+            vb > 0, np.frexp(vb.astype(np.float64))[1], 0).astype(np.int64)
+        n_ptrs = np.where(length_c > 0, (u >> l) >> self.log2_quantum, 0)
+        lower_base = ptr_base + n_ptrs * ptr_size
+        upper_base = lower_base + length_c * l
+        idx = dict(d=d, l=l, ptr_size=ptr_size, n_ptrs=n_ptrs,
+                   ptr_base=ptr_base, lower_base=lower_base,
+                   upper_base=upper_base)
+        # oracle spot-check on a few nodes (cheap insurance for the float
+        # msb arithmetic above)
+        for x in (0, n // 2, n - 1) if n else ():
+            ref = self._reader(int(x))
+            got = (idx["d"][x], idx["l"][x], idx["ptr_size"][x],
+                   idx["n_ptrs"][x], idx["ptr_base"][x],
+                   idx["lower_base"][x], idx["upper_base"][x])
+            assert tuple(int(t) for t in got) == tuple(ref), (x, got, ref)
+        self._struct_index = idx
+        return idx
+
     def _vunary(self, pos, active):
         """Per-lane unary read at ``pos`` (count of zeros before the next
         one bit); returns (values, new_pos)."""
@@ -430,17 +476,11 @@ class EFGraph(ImmutableGraph):
         Returns ``(offsets int64[n+1], successors int32[m])``."""
         n = self._n
         u = self.upper_bound
-        # per-node structure
-        d = np.zeros(n, dtype=np.int64)
-        upper_base = np.zeros(n, dtype=np.int64)
-        lower_base = np.zeros(n, dtype=np.int64)
-        lbits = np.zeros(n, dtype=np.int64)
-        for x in range(n):  # gamma outdegree is cheap; structure scan
-            dd, l, ptr_size, n_ptrs, ptr_base, lo_b, up_b = self._reader(x)
-            d[x] = dd
-            lbits[x] = l
-            lower_base[x] = lo_b
-            upper_base[x] = up_b
+        idx = self.structure_index()  # cached vectorized load-time scan
+        d = idx["d"]
+        lbits = idx["l"]
+        lower_base = idx["lower_base"]
+        upper_base = idx["upper_base"]
         offsets = np.concatenate([[0], np.cumsum(d)])
         m = int(offsets[-1])
         succ = np.zeros(m, dtype=np.int64)
@@ -475,16 +515,14 @@ class EFGraph(ImmutableGraph):
         bounds = np.asarray(bounds, dtype=np.int64)
         Q = len(xs)
         out = np.full(Q, END, dtype=np.int64)
-        d = np.zeros(Q, dtype=np.int64)
-        l = np.zeros(Q, dtype=np.int64)
-        ptr_size = np.zeros(Q, dtype=np.int64)
-        n_ptrs = np.zeros(Q, dtype=np.int64)
-        ptr_base = np.zeros(Q, dtype=np.int64)
-        lower_base = np.zeros(Q, dtype=np.int64)
-        upper_base = np.zeros(Q, dtype=np.int64)
-        for j, x in enumerate(xs):  # structure scan (gamma + arithmetic)
-            (d[j], l[j], ptr_size[j], n_ptrs[j], ptr_base[j], lower_base[j],
-             upper_base[j]) = self._reader(int(x))
+        idx = self.structure_index()  # cached vectorized load-time scan
+        d = idx["d"][xs]
+        l = idx["l"][xs]
+        ptr_size = idx["ptr_size"][xs]
+        n_ptrs = idx["n_ptrs"][xs]
+        ptr_base = idx["ptr_base"][xs]
+        lower_base = idx["lower_base"][xs]
+        upper_base = idx["upper_base"][xs]
         active = (d > 0) & (bounds < self.upper_bound)
         zeros_to_skip = np.where(active, bounds >> l.clip(0, 62), 0)
         k = np.minimum(zeros_to_skip >> self.log2_quantum, n_ptrs)

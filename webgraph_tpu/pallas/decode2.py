@@ -81,6 +81,7 @@ _P_BODY = int(os.environ.get("D2_BODY", "9"))  # body bisection stage
 _P_SINGLE = bool(os.environ.get("D2_SINGLE"))  # one inner block per trip
 _P_EVERY = bool(os.environ.get("D2_EVERY"))    # serve fetches every trip
 _P_NOCOND = bool(os.environ.get("D2_NOCOND"))  # fetch bodies without lax.cond
+_P_CF2 = bool(os.environ.get("D2_CF2"))      # serve the copy queue mid-trip
 _P_GREEDY = bool(os.environ.get("D2_GREEDY"))  # refill queues every trip,
 #   for every active lane (not just flagged) — trades fetch-body fires for
 #   the elimination of flag->serve stall latency
@@ -176,6 +177,12 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192,
 
     wc = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(work, out=wc[1:])
+
+    # NOTE (round-5 finding): cut placement cannot beat the minimax bound —
+    # a heavy reference chain (e.g. cnr-2000 nodes 38997-39009, 7454 steps)
+    # is decoded contiguously by whichever lane owns its tail, wherever the
+    # cuts land; the bound is the largest ancestor-closure span, and the
+    # remaining levers are per-trip cost and stall elimination.
 
     def partition(T: int):
         """Greedy: close a lane when its sub-step budget T or the slab arc
@@ -546,6 +553,7 @@ _FIELDS = (
     "kld iidx ileft icur irem rv rvlast rvok remr rdleft firstr "
     "wp wb ap flp wqb cqb cqlim rqb rqn iqb iqn "
     "wflag cflag rflag iflag rdlim "
+    "xw xc xs2 xo xf xd "
     "dr0 dr1 dr2 dr3 dr4 dr5 dr6 fb0 fb1 fb2 fb3 fb4 fb5 fb6 "
     + " ".join(f"a{j}" for j in range(8)) + " "
     + " ".join(f"s{j}" for j in range(8)) + " "
@@ -559,7 +567,7 @@ _FIELDS = (
 _DUMP_FIELDS = (
     "st em d crem cp kst ken kld ri rqb rqn iqb iqn ileft irem remr "
     "rvok rdleft avail sp sdump bctot icnt wp ap wb flp cqb cqlim loc "
-    "nw iidx").split()
+    "nw iidx xw xc xs2 xo xf xd").split()
 
 
 def build_kernel2(cfg: Cfg2):
@@ -987,6 +995,16 @@ def build_kernel2(cfg: Cfg2):
             rflag = rflag & ~adv
             iflag = iflag & ~adv
 
+            # ---- stall accounting (sweep diagnosis; 6 vector adds) ------
+            xw = S["xw"] + (app_need & ~w_ok).astype(I32)
+            xc = S["xc"] + (cneed & pos_ok & ~q_ok).astype(I32)
+            xs2 = S["xs2"] + ((pa_need & ~pa_ok)
+                              | (pb_need & ~pb_ok)).astype(I32)
+            xo = S["xo"] + (mrg & (em < d) & stall_out).astype(I32)
+            xf = S["xf"] + ((((st == S_BLK) | (st == S_INT)) & ~side_free)
+                            ).astype(I32)
+            xd = S["xd"] + (st == S_DONE).astype(I32)
+
             if _TRACE_LANE is not None:
                 li = lane_iota()
 
@@ -1013,7 +1031,8 @@ def build_kernel2(cfg: Cfg2):
                 rdleft=rdleft, firstr=firstr, wp=wpv, ap=ap,
                 rqb=rqb, rqn=rqn, iqb=iqb, iqn=iqn,
                 wflag=wflag.astype(I32), cflag=cflag.astype(I32),
-                rflag=rflag.astype(I32), iflag=iflag.astype(I32))
+                rflag=rflag.astype(I32), iflag=iflag.astype(I32),
+                xw=xw, xc=xc, xs2=xs2, xo=xo, xf=xf, xd=xd)
             for j in range(8):
                 out[f"a{j}"] = ab[j]
                 out[f"s{j}"] = sregs2[j]
@@ -1112,7 +1131,8 @@ def build_kernel2(cfg: Cfg2):
             S["iflag"] = jnp.where(even_t, 0, S["iflag"])
 
             # ---- copy-queue fetch ---------------------------------------
-            def do_cfetch(args):
+            def serve_cfetch(S, serve_pred):
+              def do_cfetch(args):
                 qr, cqb, cqlim = args
                 if _P_GREEDY:
                     need = (S["cflag"] > 0) | (
@@ -1179,22 +1199,25 @@ def build_kernel2(cfg: Cfg2):
                 ncql = jnp.where(need, S["rdlim"], cqlim)
                 return outq, ncqb, ncql
 
-            qrc = tuple(S[f"cq{j}"] for j in range(CQ))
-            if _P_NOFETCH or _P_NOC:
-                cqb, cqlim = S["cqb"], S["cqlim"]
-            elif _P_NOCOND:
-                qrc, cqb, cqlim = do_cfetch((qrc, S["cqb"], S["cqlim"]))
-            else:
-                qrc, cqb, cqlim = jax.lax.cond(
-                    odd_t, do_cfetch, lambda a: a,
-                    (qrc, S["cqb"], S["cqlim"]))
-            for j in range(CQ):
-                S[f"cq{j}"] = qrc[j]
-            if cfg.debug_counters:
-                smem_ref[3] = smem_ref[3] + _any(S["cflag"])
-            S["cqb"] = cqb
-            S["cqlim"] = cqlim
-            S["cflag"] = jnp.where(odd_t, 0, S["cflag"])
+              qrc = tuple(S[f"cq{j}"] for j in range(CQ))
+              if _P_NOFETCH or _P_NOC:
+                  cqb, cqlim = S["cqb"], S["cqlim"]
+              elif _P_NOCOND:
+                  qrc, cqb, cqlim = do_cfetch((qrc, S["cqb"], S["cqlim"]))
+              else:
+                  qrc, cqb, cqlim = jax.lax.cond(
+                      serve_pred, do_cfetch, lambda a: a,
+                      (qrc, S["cqb"], S["cqlim"]))
+              for j in range(CQ):
+                  S[f"cq{j}"] = qrc[j]
+              if cfg.debug_counters:
+                  smem_ref[3] = smem_ref[3] + _any(S["cflag"])
+              S["cqb"] = cqb
+              S["cqlim"] = cqlim
+              S["cflag"] = jnp.where(serve_pred, 0, S["cflag"])
+              return S
+
+            S = serve_cfetch(S, odd_t)
 
             # ---- U sub-steps via an inner fori (near-zero carry cost):
             # the expensive big-operand lax.conds above are evaluated ONCE
@@ -1241,6 +1264,10 @@ def build_kernel2(cfg: Cfg2):
                 return tuple(S2[f] for f in _FIELDS)
 
             for _blk in range(1 if _P_SINGLE else 2):
+                if _blk > 0 and _P_CF2:
+                    # mid-trip copy-queue service: halves the worst-case
+                    # merge-start -> service stall latency
+                    S = serve_cfetch(S, odd_t | jnp.bool_(_P_CF2))
                 S = unpack(jax.lax.fori_loop(
                     0, U // UIN, inner, tuple(S[f] for f in _FIELDS)))
 
@@ -1336,7 +1363,7 @@ def _compiled2(cfg: Cfg2, interpret: bool):
             jax.ShapeDtypeStruct((LANES, cfg.slabw), I32),   # slab
             jax.ShapeDtypeStruct((GROUPS, GLANES), I32),     # wp
             jax.ShapeDtypeStruct((GROUPS, GLANES), I32),     # dbg
-            jax.ShapeDtypeStruct((32, GROUPS, GLANES), I32),  # state dump
+            jax.ShapeDtypeStruct((40, GROUPS, GLANES), I32),  # state dump
         ],
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),           # meta
