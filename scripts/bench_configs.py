@@ -307,8 +307,282 @@ def config6():
     })
 
 
+def _dispatch_overhead():
+    import jax
+    import jax.numpy as jnp
+
+    triv = jax.jit(lambda x: x + 1)
+    int(triv(jnp.uint32(0)))
+    t0 = time.perf_counter()
+    for k in range(5):
+        int(triv(jnp.uint32(k)))
+    return (time.perf_counter() - t0) / 5
+
+
+def _timed_salted(build_fn, expect, reps=5):
+    """Compile build_fn(salt)->uint32 scalar; verify == expect+salt; return
+    best-of-reps seconds minus dispatch overhead."""
+    import jax
+    import numpy as np
+
+    f = jax.jit(build_fn)
+    s0 = int(np.uint32(f(0)))
+    assert s0 == expect % (1 << 32), (s0, expect)
+    over = _dispatch_overhead()
+    best = 1e9
+    for r in range(1, reps + 1):
+        t0 = time.perf_counter()
+        s = int(np.uint32(f(r)))
+        assert s == (expect + r) % (1 << 32)
+        best = min(best, time.perf_counter() - t0)
+    return max(best - over, 1e-9)
+
+
+def config7():
+    """On-chip analytics at cnr-2000 scale (VERDICT r4 item 3): device BFS,
+    one 64-source bit-parallel NF batch (batch loop inside the jit), device
+    geometric-centralities batch, and a SumSweep diameter certification
+    with device sweeps.  All verified against host oracles.
+    Reference anchors: ParallelBreadthFirstVisit.java:79,
+    NeighbourhoodFunction.java:100, GeometricCentralities.java:94-96,
+    SumSweepDirectedDiameterRadius.java:1037."""
+    import jax
+    import jax.numpy as jnp
+
+    from webgraph_tpu.algo import bfs as hbfs
+    from webgraph_tpu.algo.device import (
+        DeviceCSR, make_geometric_batches, make_nf_batches)
+    from webgraph_tpu.graph.csr import CSRGraph
+
+    bv, g = load_cnr()
+    n, m = g.num_nodes(), g.num_arcs()
+    csr = DeviceCSR.from_graph(g)
+    rows = []
+
+    # --- device BFS: distances from one source, salted by source --------
+    sources = [0, 17, 1000, 77, 12345, 4242]
+    hostsum = {s: int(np.int64(hbfs.bfs_distances(g, s).sum()) & 0xFFFFFFFF)
+               for s in sources}
+    ncap = 256
+    src_j, dst_j = csr.src, csr.dst
+
+    def bfs_run(salt):
+        s = jnp.asarray(sources, dtype=jnp.int32)[salt % len(sources)]
+        dist = jnp.full(n, -1, dtype=jnp.int32).at[s].set(0)
+        front = jnp.zeros(n, dtype=jnp.int32).at[s].set(1)
+
+        def cond(st):
+            return (jnp.max(st[1]) > 0) & (st[2] < ncap)
+
+        def body(st):
+            dist, front, level = st
+            hit = jnp.zeros(n, dtype=jnp.int32).at[dst_j].max(front[src_j])
+            newf = (hit > 0) & (dist < 0)
+            dist = jnp.where(newf, level + 1, dist)
+            return dist, newf.astype(jnp.int32), level + 1
+
+        dist, _, _ = jax.lax.while_loop(cond, body, (dist, front,
+                                                     jnp.int32(0)))
+        return jnp.sum(dist).astype(jnp.uint32) + jnp.uint32(0)
+
+    # verify each source's distance sum, then time (distinct source per rep)
+    f = jax.jit(bfs_run)
+    for i, s in enumerate(sources):
+        assert int(np.uint32(f(i))) == hostsum[s] % (1 << 32), f"src {s}"
+    over = _dispatch_overhead()
+    best = 1e9
+    for r in range(len(sources)):
+        t0 = time.perf_counter()
+        int(np.uint32(f(r)))
+        best = min(best, time.perf_counter() - t0)
+    t_bfs = max(best - over, 1e-9)
+    rows.append({"op": "device BFS (1 source, full distances)",
+                 "ms": round(t_bfs * 1e3, 2),
+                 "Medges_s_per_level_sweep": None,
+                 "note": "arc-parallel level-synchronous; verified vs host "
+                         "BFS distance sums for 6 sources"})
+
+    # --- 64-source NF batch (fori inside jit) --------------------------
+    run_nf = make_nf_batches(csr, ncap)
+    srcs0 = np.arange(64)
+    hd = [hbfs.bfs_distances(g, s) for s in srcs0]
+    exp_counts = np.zeros(ncap + 1, dtype=np.int64)
+    for dvec in hd:
+        reach = dvec[dvec >= 0]
+        bc = np.bincount(reach, minlength=ncap + 1)[: ncap + 1]
+        exp_counts += np.cumsum(bc)
+    counts, _ = run_nf(jnp.int32(0), 1)
+    got = np.asarray(counts[0], dtype=np.int64)
+    assert np.array_equal(got, exp_counts), "NF batch != 64 host BFS"
+    over = _dispatch_overhead()
+    best = 1e9
+    nb_timed = 4
+    for r in range(3):
+        t0 = time.perf_counter()
+        c, _ = run_nf(jnp.int32(r + 1), nb_timed)   # distinct batches/rep
+        np.asarray(c[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    t_nf = max((best - over) / nb_timed, 1e-9)
+    rows.append({"op": "exact-NF 64-source bit-parallel batch",
+                 "ms_per_batch": round(t_nf * 1e3, 2),
+                 "batches_for_full_exact_NF": (n + 63) // 64,
+                 "projected_full_exact_NF_s": round(t_nf * ((n + 63) // 64),
+                                                    1),
+                 "note": "batch loop inside ONE jit (fori); verified vs 64 "
+                         "host BFS"})
+
+    # --- geometric-centralities batch ----------------------------------
+    run_geo = make_geometric_batches(csr, ncap, 0.5)
+    r0, d0, h0, e0 = run_geo(jnp.int32(0), 1)
+    exp_reach = np.array([int((dv > 0).sum()) for dv in hd])
+    exp_sumd = np.array([int(dv[dv > 0].sum()) for dv in hd])
+    assert np.array_equal(np.asarray(r0)[:64], exp_reach)
+    assert np.array_equal(np.asarray(d0)[:64], exp_sumd)
+    over = _dispatch_overhead()
+    best = 1e9
+    for r in range(3):
+        t0 = time.perf_counter()
+        rr, dd, hh, ee = run_geo(jnp.int32(r + 1), nb_timed)
+        np.asarray(rr[0])
+        best = min(best, time.perf_counter() - t0)
+    t_geo = max((best - over) / nb_timed, 1e-9)
+    rows.append({"op": "geometric centralities 64-source batch "
+                       "(closeness/harmonic/lin/exp/reachable)",
+                 "ms_per_batch": round(t_geo * 1e3, 2),
+                 "projected_all_nodes_s": round(t_geo * ((n + 63) // 64), 1),
+                 "note": "verified vs host per-source BFS moments"})
+
+    # --- SumSweep diameter certification (device sweeps) ---------------
+    from webgraph_tpu.algo.sumsweep import (
+        OutputLevel, SumSweepDirectedDiameterRadius)
+
+    t0 = time.perf_counter()
+    ss = SumSweepDirectedDiameterRadius(g, OutputLevel.DIAMETER,
+                                        use_device=True)
+    ss.compute()
+    t_ss = time.perf_counter() - t0
+    assert ss.get_diameter() == 84  # cnr-2000 ground truth
+    rows.append({"op": "SumSweep exact diameter certification "
+                       "(device BFS sweeps)",
+                 "s": round(t_ss, 1), "diameter": int(ss.get_diameter()),
+                 "iterations": int(ss.iterations),
+                 "note": "multi-dispatch host loop driving device sweeps; "
+                         "~27 ms dispatch+fetch overhead each on this "
+                         "backend"})
+
+    emit({"config": 7,
+          "metric": "cnr-2000 analytics ON CHIP (oracle-verified)",
+          "backend": __import__("jax").default_backend(),
+          "n": n, "m": m, "rows": rows})
+
+
+def config8():
+    """Device encoder + device transform timings on cnr-2000 (VERDICT r4
+    items 5-6): the compute side of encode_device (cost pass + greedy
+    selection + emission) and the device transpose/permute-apply pipelines,
+    salted-checksum verified.  Reference anchors: BVGraph.java:2436-2650
+    (parallel store), Transform.java:964-1052 (transpose)."""
+    import jax
+    import jax.numpy as jnp
+
+    from webgraph_tpu.formats import bvgraph_jax_encode as E
+    from webgraph_tpu.transform.device import (
+        map_arcs_device, transpose_arcs_device)
+    from webgraph_tpu.transform import transform as T
+
+    bv, g = load_cnr()
+    n, m = g.num_nodes(), g.num_arcs()
+    offsets, succ = g.to_csr()
+    rows = []
+
+    # --- device encode (compute side; bytes verified once) -------------
+    s = bv.settings
+    off_j = jnp.asarray(np.asarray(offsets, dtype=np.int32))
+    sc_j = jnp.asarray(np.asarray(succ, dtype=np.int32))
+    d_host = np.diff(offsets).astype(np.int64)
+    src_j = jnp.asarray(np.repeat(np.arange(n, dtype=np.int32), d_host))
+    iters = max(int(d_host.max()).bit_length(), 1)
+    skey = E.skey_of(s)
+    costs, valid = E.compute_costs(off_j, sc_j, src_j, skey, iters, 0)
+    refs, depths = E.select_references(costs, valid, skey)
+    tb, tblk, tiv, tres = (int(v) for v in E.plan_sizes(
+        off_j, sc_j, src_j, refs, skey, iters, 0))
+    words, starts, stats_vec, _sh, _rh = E.emit_graph(
+        off_j, sc_j, src_j, refs, depths, skey, iters, 0, tb, tblk, tiv,
+        tres)
+    ref_gb = open(CNR + ".graph", "rb").read()
+    got = np.asarray(words).astype(">u4").tobytes()[: (tb + 7) // 8]
+    assert got == ref_gb, "device encode != fixture bytes"
+    wsum = int(np.asarray(words, dtype=np.uint64).sum() & 0xFFFFFFFF)
+
+    def enc_run(salt):
+        c2, v2 = E.compute_costs(off_j, sc_j, src_j, skey, iters, 0)
+        r2, dp2 = E.select_references(c2, v2, skey)
+        w2, st2, sv2, _a, _b = E.emit_graph(
+            off_j, sc_j, src_j, r2, dp2, skey, iters, 0, tb, tblk, tiv,
+            tres)
+        return jnp.sum(w2.astype(jnp.uint32)).astype(jnp.uint32) \
+            + jnp.uint32(salt)
+
+    t_enc = _timed_salted(enc_run, wsum, reps=3)
+    rows.append({"op": "device encode (cost pass + selection + emission)",
+                 "ms": round(t_enc * 1e3, 1),
+                 "Medges_s": round(m / t_enc / 1e6, 2),
+                 "note": "output words byte-verified against the cnr-2000 "
+                         "fixture"})
+
+    # --- device transpose ----------------------------------------------
+    src_a = jnp.asarray(np.repeat(np.arange(n, dtype=np.int32),
+                                  d_host))
+    dst_a = jnp.asarray(np.asarray(succ, dtype=np.int32))
+    toff_h, tsucc_h = T.transpose(g).to_csr()
+    wv = ((np.arange(m, dtype=np.uint64) * 2654435761 + 1)
+          & 0xFFFFFFFF).astype(np.uint32)
+    texp = int((tsucc_h.astype(np.uint64) * wv).sum() & 0xFFFFFFFF)
+    wv_j = jnp.asarray(wv)
+
+    def tr_run(salt):
+        off_d, succ_d = transpose_arcs_device(src_a, dst_a, 0, n)
+        return jnp.sum(succ_d.astype(jnp.uint32) * wv_j,
+                       dtype=jnp.uint32) + jnp.uint32(salt)
+
+    t_tr = _timed_salted(tr_run, texp, reps=5)
+    rows.append({"op": "device transpose (sort + dedup-free CSR assembly)",
+                 "ms": round(t_tr * 1e3, 2),
+                 "Medges_s": round(m / t_tr / 1e6, 1),
+                 "note": "position-weighted checksum vs host transpose"})
+
+    # --- device gray-permutation apply ----------------------------------
+    perm = T.gray_code_permutation(g)
+    gp = T.map_graph(g, perm)
+    poff_h, psucc_h = gp.to_csr()
+    pexp = int((psucc_h.astype(np.uint64) * wv[: len(psucc_h)]).sum()
+               & 0xFFFFFFFF)
+    perm_j = jnp.asarray(perm.astype(np.int32))
+
+    def mp_run(salt):
+        off_d, succ_d, mm = map_arcs_device(src_a, dst_a, perm_j, n)
+        pos = jnp.arange(succ_d.shape[0])
+        w = jnp.where(pos < mm, wv_j[jnp.minimum(pos, m - 1)], 0)
+        return jnp.sum(succ_d.astype(jnp.uint32) * w,
+                       dtype=jnp.uint32) + jnp.uint32(salt)
+
+    t_mp = _timed_salted(mp_run, pexp, reps=5)
+    rows.append({"op": "device gray-permutation apply (map + dedup + CSR)",
+                 "ms": round(t_mp * 1e3, 2),
+                 "Medges_s": round(m / t_mp / 1e6, 1),
+                 "note": "gray keys are host planning; apply/dedup/CSR on "
+                         "device; checksum vs host map_graph"})
+
+    emit({"config": 8,
+          "metric": "cnr-2000 device encode + device transforms ON CHIP "
+                    "(verified)",
+          "backend": __import__("jax").default_backend(),
+          "n": n, "m": m, "rows": rows})
+
+
 def main():
-    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6]
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6, 7, 8]
     for c in which:
         globals()[f"config{c}"]()
     # merge-update keyed by config: never destroy rows from other runs

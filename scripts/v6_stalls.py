@@ -41,6 +41,16 @@ def main():
         work += tot
     print(f"  lane-substeps total {total_sub:,}; plan work "
           f"{int(np.sum(plan.exp_wp)):,} arcs")
+    # per-lane breakdown of the stall-heaviest lanes
+    cats = ["xw", "xc", "xs2", "xo", "xf", "xd"]
+    per_lane = np.stack([rows[c] for c in cats])          # (6, 1024)
+    busy = trips * 2 * cfg.unroll - rows["xd"]
+    worst = np.argsort(-(per_lane[:5].sum(axis=0)))[:5]
+    for ln in worst:
+        print(f"  lane {ln}: busy_end={int(busy[ln])} "
+              + " ".join(f"{c}={int(per_lane[i, ln])}"
+                         for i, c in enumerate(cats))
+              + f" arcs={int(plan.exp_wp[ln])}")
 
 
 if __name__ == "__main__":

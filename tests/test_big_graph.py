@@ -60,3 +60,63 @@ def test_big_graph_roundtrip_and_capacity(tmp_path):
     for x in (0, n // 2, n - 1):
         np.testing.assert_array_equal(
             np.asarray(list(bv.successors(x))), tsucc[toff[x]:toff[x + 1]])
+
+
+@pytest.mark.slow
+def test_bit_cursor_past_2p31(tmp_path):
+    """Scale boundary: a stream whose bit length exceeds 2^31 (the int32
+    bit-cursor limit; 256 MiB).  The reference's BigGraph slow test
+    (slow/.../BVGraphSlowTest.java:31,88) exercises the int-node boundary;
+    here the BIT-cursor boundary: int64 offsets end-to-end, random access
+    and oracle decode correct in the >2^31-bit region, and the tile planner
+    derives in-range per-lane word cursors."""
+    import numpy as np
+
+    from webgraph_tpu.graph.csr import CSRGraph
+
+    n, k = 6_000_000, 16
+    step = 311_111  # k*step << n and gcd-safe: rows are distinct mod n
+    x = np.arange(n, dtype=np.int64)[:, None]
+    j = np.arange(k, dtype=np.int64)[None, :]
+    succ2d = (x * 2654435761 % n + 1 + j * step) % n
+    succ2d.sort(axis=1)
+    assert (np.diff(succ2d, axis=1) > 0).all()
+    offsets = np.arange(n + 1, dtype=np.int64) * k
+    g = CSRGraph(offsets, succ2d.reshape(-1).astype(np.int32))
+
+    base = os.path.join(tmp_path, "big")
+    BVGraph.store(g, base, num_shards=4)
+    bv = BVGraph.load(base)
+    bo = bv.bit_offsets.astype(np.int64)
+    assert int(bv._bit_length) > 2**31, int(bv._bit_length)
+    assert bo.dtype == np.int64 and int(bo[-1]) == bv._bit_length
+    first_over = int(np.searchsorted(bo, 2**31))
+
+    # random access straddling and beyond the 2^31-bit boundary
+    for xq in (first_over - 1, first_over, first_over + 1, n - 1):
+        np.testing.assert_array_equal(
+            np.asarray(list(bv.successors(xq))), succ2d[xq])
+
+    # tile planning: per-lane word cursors must be in-range for every tile
+    from webgraph_tpu.pallas import decode2 as D2
+    from webgraph_tpu.pallas.plan import scan_structure
+
+    scan = scan_structure(bv)
+    tiles = D2.plan_tiles(bv, scan)
+    assert tiles[-1].hi == n
+    boundary_tiles = [t for t in tiles
+                      if t.lo <= first_over < t.hi or t.hi == first_over]
+    assert boundary_tiles
+    for t in tiles:
+        # lane word rows: relative cursors fit int32 even though the
+        # absolute bit cursor is past 2^31
+        assert int(t.bit0.max(initial=0)) < 2**31
+        assert int(t.bit0b.max(initial=0)) < 2**31
+        assert (t.word0 >= 0).all()
+
+    # oracle decode of a window past the boundary (sequential iterator
+    # primed mid-graph, BVGraph.java:1173-1183 semantics)
+    it = bv.node_iterator(first_over)
+    for xq in range(first_over, first_over + 50):
+        assert it.next_int() == xq
+        np.testing.assert_array_equal(it.successor_array(), succ2d[xq])

@@ -127,3 +127,31 @@ def test_geometric_centralities_device(graph):
     np.testing.assert_allclose(har, host.harmonic, rtol=1e-5)
     np.testing.assert_allclose(lin, host.lin, rtol=1e-6)
     np.testing.assert_allclose(exp, host.exponential, rtol=1e-4)
+
+
+def test_betweenness_device(graph):
+    """Batched device Brandes == host Brandes oracle
+    (BetweennessCentrality.java:256)."""
+    from webgraph_tpu.algo.centralities import BetweennessCentrality
+    from webgraph_tpu.algo.device import betweenness_device
+
+    g, off, succ, csr = graph
+    host = BetweennessCentrality(g).compute().betweenness
+    dev = betweenness_device(csr)
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
+def test_centralities_use_device_flag(graph):
+    """The host centrality classes dispatch to the device paths via
+    use_device=True and agree with the host computation."""
+    from webgraph_tpu.algo.centralities import (
+        BetweennessCentrality, GeometricCentralities)
+
+    g, off, succ, csr = graph
+    h = GeometricCentralities(g).compute()
+    d = GeometricCentralities(g, use_device=True).compute()
+    np.testing.assert_allclose(d.closeness, h.closeness, rtol=1e-6)
+    np.testing.assert_array_equal(d.reachable, h.reachable)
+    hb = BetweennessCentrality(g).compute().betweenness
+    db = BetweennessCentrality(g, use_device=True).compute().betweenness
+    np.testing.assert_allclose(db, hb, rtol=1e-5, atol=1e-5)

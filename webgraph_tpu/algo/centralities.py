@@ -27,9 +27,11 @@ class GeometricCentralities:
     d(x, y) computed on the graph itself; pass the transpose to obtain the
     usual "incoming-distance" variants."""
 
-    def __init__(self, graph: ImmutableGraph, alpha: float = 0.5):
+    def __init__(self, graph: ImmutableGraph, alpha: float = 0.5,
+                 use_device: bool = False):
         self.graph = CSRGraph.from_graph(graph)
         self.alpha = alpha
+        self.use_device = use_device
         n = graph.num_nodes()
         self.closeness = np.zeros(n)
         self.harmonic = np.zeros(n)
@@ -38,6 +40,18 @@ class GeometricCentralities:
         self.reachable = np.zeros(n, dtype=np.int64)
 
     def compute(self) -> "GeometricCentralities":
+        if self.use_device:
+            # bit-parallel 64-source device batches (algo/device.py), the
+            # TPU analog of the reference's per-source thread pool
+            # (GeometricCentralities.java:94-96)
+            from webgraph_tpu.algo.device import (
+                DeviceCSR, geometric_centralities_device)
+
+            clo, har, lin, exp_, reach = geometric_centralities_device(
+                DeviceCSR.from_graph(self.graph), alpha=self.alpha)
+            self.closeness, self.harmonic, self.lin = clo, har, lin
+            self.exponential, self.reachable = exp_, reach
+            return self
         g = self.graph
         n = g.num_nodes()
         for x in range(n):
@@ -305,11 +319,22 @@ class BetweennessCentrality:
     class PathCountOverflowException(ArithmeticError):
         pass
 
-    def __init__(self, graph: ImmutableGraph):
+    def __init__(self, graph: ImmutableGraph, use_device: bool = False):
         self.graph = CSRGraph.from_graph(graph)
+        self.use_device = use_device
         self.betweenness = np.zeros(graph.num_nodes())
 
     def compute(self) -> "BetweennessCentrality":
+        if self.use_device:
+            # batched device Brandes (float32 sigma/delta — exact to 2^24
+            # paths; the host path keeps the uint64 + overflow check,
+            # BetweennessCentrality.java:83)
+            from webgraph_tpu.algo.device import (
+                DeviceCSR, betweenness_device)
+
+            self.betweenness = betweenness_device(
+                DeviceCSR.from_graph(self.graph))
+            return self
         g = self.graph
         offsets, succ = g.to_csr()
         n = g.num_nodes()

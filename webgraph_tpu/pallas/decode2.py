@@ -1272,16 +1272,23 @@ def build_kernel2(cfg: Cfg2):
                     0, U // UIN, inner, tuple(S[f] for f in _FIELDS)))
 
             # ---- flush completed 128-blocks midT -> slab (trip end) -----
+            # serve a 4-wide band of block indices from the global minimum:
+            # the uniform dynamic slab slice means only lanes whose pending
+            # block equals a served index flush this trip, and a 2-wide band
+            # left arc-heavy lanes (58 blocks) flush-starved behind light
+            # ones (12% of all lane-substeps were out-backpressure stalls,
+    # r5 stall counters)
+            FB = 4
             pnd = (S["wb"] >> 7) > S["flp"]
             bmin = jnp.min(jnp.where(pnd, S["flp"], INF))
             flpv = S["flp"]
-            fl_sel = [pnd & (flpv == bmin + j) for j in range(2)]
+            fl_sel = [pnd & (flpv == bmin + j) for j in range(FB)]
 
             @pl.when((_any(pnd) > 0) & (not _P_NOTE))
             def _():
                 lo = midt_ref[:, 0:128]
                 hi = midt_ref[:, 128:256]
-                for j in range(2):
+                for j in range(FB):
                     B = jnp.clip(bmin + j, 0, SLABW // 128 - 1)
                     src = jnp.where((B & 1) == 1, hi, lo)
                     selT = flat(fl_sel[j].astype(I32)).T > 0
@@ -1292,7 +1299,7 @@ def build_kernel2(cfg: Cfg2):
                     curR = ring_ref[:, pl.ds(rc, 128)]
                     ring_ref[:, pl.ds(rc, 128)] = jnp.where(selT, src, curR)
 
-            for j in range(2):
+            for j in range(FB):
                 S["flp"] = jnp.where(fl_sel[j], S["flp"] + 1, S["flp"])
 
             if cfg.debug_counters:
