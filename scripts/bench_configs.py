@@ -574,9 +574,71 @@ def config8():
                  "note": "gray keys are host planning; apply/dedup/CSR on "
                          "device; checksum vs host map_graph"})
 
+    # --- EFGraph device paths -------------------------------------------
+    from webgraph_tpu.formats.efgraph import EFGraph
+    from webgraph_tpu.formats import efgraph_jax as EFJ
+
+    ef_base = "/tmp/cnr2000-ef/g"
+    if not os.path.exists(ef_base + ".graph"):
+        os.makedirs("/tmp/cnr2000-ef", exist_ok=True)
+        EFGraph.store(g, ef_base)
+    ef = EFGraph.load(ef_base)
+    idxs = ef.structure_index()
+    eoff = np.concatenate([[0], np.cumsum(idxs["d"])])
+    # bit-parallel device decode, checksum-verified against host CSR
+    w32 = EFJ._w32_of(ef)
+    nbits = (len(w32) - 2) * 32
+    fn_ef = EFJ.make_bitparallel_decode(n, nbits, m)
+    args_ef = (jnp.asarray(w32),
+               jnp.asarray(ef.bit_offsets[:n].astype(np.int32)),
+               jnp.asarray(idxs["d"].astype(np.int32)),
+               jnp.asarray(idxs["l"].astype(np.int32)),
+               jnp.asarray(idxs["lower_base"].astype(np.int32)),
+               jnp.asarray(idxs["upper_base"].astype(np.int32)),
+               jnp.asarray(eoff[:n].astype(np.int32)))
+    eexp = int((np.asarray(succ, dtype=np.uint64)
+                * wv.astype(np.uint64)).sum() & 0xFFFFFFFF)
+
+    def ef_run(salt):
+        sd = fn_ef(*args_ef)
+        return jnp.sum(sd.astype(jnp.uint32) * wv_j,
+                       dtype=jnp.uint32) + jnp.uint32(salt)
+
+    t_ef = _timed_salted(ef_run, eexp, reps=3)
+    rows.append({"op": "EFGraph bit-parallel device decode",
+                 "ms": round(t_ef * 1e3, 2),
+                 "Medges_s": round(m / t_ef / 1e6, 1),
+                 "note": "every stream bit classified in parallel; "
+                         "checksum vs host CSR (EFGraph.java:1064-1166)"})
+
+    # batched device skip_to (adjacency; EFGraph.java:1147)
+    rng = np.random.default_rng(5)
+    Q = 4096
+    xs = rng.integers(0, n, size=Q).astype(np.int32)
+    bnds = rng.integers(0, n, size=Q).astype(np.int32)
+    host_sk = ef.skip_to_batch(xs, bnds)
+    fn_sk = EFJ.make_skip_to_batch(ef)
+    sexp = int((host_sk.astype(np.uint64)
+                * wv[:Q].astype(np.uint64)).sum() & 0xFFFFFFFF)
+    xs_j, bn_j = jnp.asarray(xs), jnp.asarray(bnds)
+    wq_j = jnp.asarray(wv[:Q])
+
+    def sk_run(salt):
+        out = fn_sk(xs_j, bn_j)
+        return jnp.sum(out.astype(jnp.uint32) * wq_j,
+                       dtype=jnp.uint32) + jnp.uint32(salt)
+
+    t_sk = _timed_salted(sk_run, sexp, reps=5)
+    rows.append({"op": "EFGraph batched device skip_to (adjacency)",
+                 "batch": Q,
+                 "ns_per_query": round(t_sk / Q * 1e9, 1),
+                 "queries_per_s": round(Q / t_sk, 0),
+                 "note": "skip pointers + bounded lockstep unary scan; "
+                         "verified vs host skip_to_batch"})
+
     emit({"config": 8,
-          "metric": "cnr-2000 device encode + device transforms ON CHIP "
-                    "(verified)",
+          "metric": "cnr-2000 device encode + device transforms + EFGraph "
+                    "ON CHIP (verified)",
           "backend": __import__("jax").default_backend(),
           "n": n, "m": m, "rows": rows})
 

@@ -33,7 +33,8 @@ def main():
     work = 0
     for nm, label in (("xw", "word-starve"), ("xc", "copy-starve"),
                       ("xs2", "side-starve"), ("xo", "out-backpressure"),
-                      ("xf", "side-full"), ("xd", "done-idle")):
+                      ("xf", "side-full"), ("xd", "done-idle"),
+                      ("xa", "window-fill"), ("xn", "idle-no-action")):
         tot = int(rows[nm].astype(np.int64).sum())
         mx = int(rows[nm].max())
         print(f"  {label:16s} total={tot:>12,}  share={tot/total_sub:6.1%}"
@@ -42,10 +43,10 @@ def main():
     print(f"  lane-substeps total {total_sub:,}; plan work "
           f"{int(np.sum(plan.exp_wp)):,} arcs")
     # per-lane breakdown of the stall-heaviest lanes
-    cats = ["xw", "xc", "xs2", "xo", "xf", "xd"]
+    cats = ["xw", "xc", "xs2", "xo", "xf", "xd", "xa", "xn"]
     per_lane = np.stack([rows[c] for c in cats])          # (6, 1024)
     busy = trips * 2 * cfg.unroll - rows["xd"]
-    worst = np.argsort(-(per_lane[:5].sum(axis=0)))[:5]
+    worst = np.argsort(-(per_lane[[1, 2, 3, 6, 7]].sum(axis=0)))[:5]
     for ln in worst:
         print(f"  lane {ln}: busy_end={int(busy[ln])} "
               + " ".join(f"{c}={int(per_lane[i, ln])}"

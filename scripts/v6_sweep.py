@@ -28,6 +28,8 @@ VARIANTS = {
     "greedy": {"D2_GREEDY": "1"},
     "greedy_u8": {"D2_GREEDY": "1", "D2_U": "8", "D2_UIN": "8"},
     "greedy_cf2": {"D2_GREEDY": "1", "D2_CF2": "1"},
+    "greedy_cq64": {"D2_GREEDY": "1", "D2_CQ": "64"},
+    "greedy_cq48": {"D2_GREEDY": "1", "D2_CQ": "48"},
 }
 
 

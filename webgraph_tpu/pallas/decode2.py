@@ -82,9 +82,11 @@ _P_SINGLE = bool(os.environ.get("D2_SINGLE"))  # one inner block per trip
 _P_EVERY = bool(os.environ.get("D2_EVERY"))    # serve fetches every trip
 _P_NOCOND = bool(os.environ.get("D2_NOCOND"))  # fetch bodies without lax.cond
 _P_CF2 = bool(os.environ.get("D2_CF2"))      # serve the copy queue mid-trip
-_P_GREEDY = bool(os.environ.get("D2_GREEDY"))  # refill queues every trip,
-#   for every active lane (not just flagged) — trades fetch-body fires for
-#   the elimination of flag->serve stall latency
+# greedy service (DEFAULT since r5): refill queues every trip for every
+# active lane (not just flagged) — eliminates the flag->serve stall latency
+# that cost ~35% of all trips (sweep r5); D2_GREEDY=0 restores the
+# alternate-trip flagged cadence for comparison probes
+_P_GREEDY = os.environ.get("D2_GREEDY", "1") != "0"
 
 
 # ----------------------------------------------------------------------
@@ -184,10 +186,16 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192,
     # cuts land; the bound is the largest ancestor-closure span, and the
     # remaining levers are per-trip cost and stall elimination.
 
-    def partition(T: int):
+    def partition(T: int, balance: bool = False):
         """Greedy: close a lane when its sub-step budget T or the slab arc
         cap is hit.  Returns (starts, bounds) or None if > `lanes` ranges
-        are needed (T too small)."""
+        are needed (T too small).
+
+        ``balance`` caps each lane at the REMAINING average too, spreading
+        the leftover instead of front-loading it (a front-loaded partition
+        at budget T leaves the tail lanes empty — 27% of cnr-2000's lanes,
+        40% of all lane-substeps idle per the r5 stall counters — and
+        concentrates flush contention on the loaded ones)."""
         starts = np.zeros(lanes, dtype=np.int64)
         bounds = np.zeros(lanes, dtype=np.int64)
         a = node_lo
@@ -199,7 +207,12 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192,
             # budget from the overlap start (a heavy node re-decoded as
             # an ancestor-overlap must count against the lane's budget)
             amin = max(a - reach, 0)
-            b1 = int(np.searchsorted(wc, wc[amin] + T, side="right")) - 1
+            Tl = T
+            if balance:
+                rem = int(wc[node_hi] - wc[amin])
+                Tl = min(T, max(rem // (lanes - l) + 1,
+                                int(work[amin:amin + 1].max(initial=1))))
+            b1 = int(np.searchsorted(wc, wc[amin] + Tl, side="right")) - 1
             b2 = int(np.searchsorted(csr, csr[amin] + slab_cap,
                                      side="right")) - 1
             b = max(a + 1, min(b1, b2, node_hi))
@@ -231,7 +244,14 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192,
                 lo = mid + 1
         if best is None:
             got = partition(hi)
-            return (hi, got) if got is not None else None
+            if got is None:
+                return None
+            best = (hi, got)
+        # re-cut at the winning budget with leftover balancing (tail lanes
+        # get ~average work instead of nothing)
+        bal = partition(best[0], balance=True)
+        if bal is not None:
+            best = (best[0], bal)
         return best
 
     cand = [search(c) for c in
@@ -553,7 +573,7 @@ _FIELDS = (
     "kld iidx ileft icur irem rv rvlast rvok remr rdleft firstr "
     "wp wb ap flp wqb cqb cqlim rqb rqn iqb iqn "
     "wflag cflag rflag iflag rdlim "
-    "xw xc xs2 xo xf xd "
+    "xw xc xs2 xo xf xd xa xn "
     "dr0 dr1 dr2 dr3 dr4 dr5 dr6 fb0 fb1 fb2 fb3 fb4 fb5 fb6 "
     + " ".join(f"a{j}" for j in range(8)) + " "
     + " ".join(f"s{j}" for j in range(8)) + " "
@@ -567,7 +587,7 @@ _FIELDS = (
 _DUMP_FIELDS = (
     "st em d crem cp kst ken kld ri rqb rqn iqb iqn ileft irem remr "
     "rvok rdleft avail sp sdump bctot icnt wp ap wb flp cqb cqlim loc "
-    "nw iidx xw xc xs2 xo xf xd").split()
+    "nw iidx xw xc xs2 xo xf xd xa xn").split()
 
 
 def build_kernel2(cfg: Cfg2):
@@ -995,7 +1015,7 @@ def build_kernel2(cfg: Cfg2):
             rflag = rflag & ~adv
             iflag = iflag & ~adv
 
-            # ---- stall accounting (sweep diagnosis; 6 vector adds) ------
+            # ---- stall accounting (sweep diagnosis; 8 vector adds) ------
             xw = S["xw"] + (app_need & ~w_ok).astype(I32)
             xc = S["xc"] + (cneed & pos_ok & ~q_ok).astype(I32)
             xs2 = S["xs2"] + ((pa_need & ~pa_ok)
@@ -1004,6 +1024,12 @@ def build_kernel2(cfg: Cfg2):
             xf = S["xf"] + ((((st == S_BLK) | (st == S_INT)) & ~side_free)
                             ).astype(I32)
             xd = S["xd"] + (st == S_DONE).astype(I32)
+            # window-fill substeps (decode wanted, window short post-append)
+            xa = S["xa"] + (want & ~ready & alive).astype(I32)
+            # catch-all: alive and NOTHING advanced this substep
+            acted = (ready | can | app | pa_on | pb_on | son
+                     | adv | minit)
+            xn = S["xn"] + (alive & ~acted).astype(I32)
 
             if _TRACE_LANE is not None:
                 li = lane_iota()
@@ -1032,7 +1058,7 @@ def build_kernel2(cfg: Cfg2):
                 rqb=rqb, rqn=rqn, iqb=iqb, iqn=iqn,
                 wflag=wflag.astype(I32), cflag=cflag.astype(I32),
                 rflag=rflag.astype(I32), iflag=iflag.astype(I32),
-                xw=xw, xc=xc, xs2=xs2, xo=xo, xf=xf, xd=xd)
+                xw=xw, xc=xc, xs2=xs2, xo=xo, xf=xf, xd=xd, xa=xa, xn=xn)
             for j in range(8):
                 out[f"a{j}"] = ab[j]
                 out[f"s{j}"] = sregs2[j]
