@@ -85,6 +85,22 @@ def main():
         chk = jnp.sum(slab.astype(jnp.uint32) * w, dtype=jnp.uint32)
         return chk + salt, wp
 
+    # R decodes inside ONE program: per-iteration salt lands in an unused
+    # meta row so every iteration is a distinct computation (XLA cannot
+    # hoist it), and the accumulated checksum still proves all R ran
+    # correctly.  Needed because one decode is now of the same order as
+    # the ~27 ms dispatch+fetch round trip on this backend.
+    R = 8
+
+    @jax.jit
+    def fnR(meta, words, w, salt):
+        def body(i, acc):
+            m2 = meta.at[31, 0, 0].set(salt + i)
+            slab, wp, dbg, dump = pallas_fn(m2, words)
+            return acc + jnp.sum(slab.astype(jnp.uint32) * w,
+                                 dtype=jnp.uint32)
+        return jax.lax.fori_loop(0, R, body, jnp.uint32(0))
+
     meta_j, words_j, w_j = (jnp.asarray(a) for a in (meta, words, w))
 
     # warm-up / compile + UNCONDITIONAL truth check
@@ -102,17 +118,19 @@ def main():
         int(triv(jnp.uint32(k)))
     overhead = (time.perf_counter() - t0) / 5
 
-    reps = 5
+    expectR = (R * expect) % (1 << 32)
+    int(np.uint32(fnR(meta_j, words_j, w_j, jnp.uint32(0))))  # compile
     best = float("inf")
-    for rep in range(1, reps + 1):
+    for rep in range(1, 4):
+        # distinct salts per repetition: every kernel execution is a
+        # distinct computation (the salt rides in an unused meta row)
         t0 = time.perf_counter()
-        s, _ = fn(meta_j, words_j, w_j, jnp.uint32(rep))
-        s = int(np.uint32(s))
+        s = int(np.uint32(fnR(meta_j, words_j, w_j, jnp.uint32(rep * R))))
         dt = time.perf_counter() - t0
         best = min(best, dt)
-        assert s == (expect + rep) % (1 << 32), "salted checksum mismatch"
+        assert s == expectR, "salted checksum mismatch"
 
-    eff = max(best - overhead, 1e-9)
+    eff = max((best - overhead) / R, 1e-9)
     edges_per_sec = m / eff
 
     print(

@@ -204,6 +204,17 @@ def config5():
         return jnp.sum(slab.astype(jnp.uint32) * w,
                        dtype=jnp.uint32) + salt
 
+    R = 8
+
+    @jax.jit
+    def fR(meta, words, w, salt):
+        def body(i, acc):
+            m2 = meta.at[31, 0, 0].set(salt + i)
+            slab, wp, dbg, dump = fn(m2, words)
+            return acc + jnp.sum(slab.astype(jnp.uint32) * w,
+                                 dtype=jnp.uint32)
+        return jax.lax.fori_loop(0, R, body, jnp.uint32(0))
+
     m_j, w_j, ww_j = jnp.asarray(meta), jnp.asarray(words), jnp.asarray(w)
     s0 = int(np.uint32(f(m_j, w_j, ww_j, jnp.uint32(0))))
     assert s0 == expect, "query checksum mismatch"
@@ -213,13 +224,15 @@ def config5():
     for k in range(5):
         int(triv(jnp.uint32(k)))
     over = (time.perf_counter() - t0) / 5
+    expR = (R * expect) % (1 << 32)
+    int(np.uint32(fR(m_j, w_j, ww_j, jnp.uint32(0))))
     best = float("inf")
     for rep in range(1, 6):
         t0 = time.perf_counter()
-        s = int(np.uint32(f(m_j, w_j, ww_j, jnp.uint32(rep))))
-        assert s == (expect + rep) % (1 << 32)
+        s = int(np.uint32(fR(m_j, w_j, ww_j, jnp.uint32(rep * R))))
+        assert s == expR
         best = min(best, time.perf_counter() - t0)
-    eff = max(best - over, 1e-9)
+    eff = max((best - over) / R, 1e-9)
     emit({
         "config": 5,
         "metric": "batched random-access successors, streaming kernel "
@@ -259,6 +272,17 @@ def _timed_streaming_decode(bv, toff, tsucc, reps=5):
         return jnp.sum(slab.astype(jnp.uint32) * w,
                        dtype=jnp.uint32) + salt, wp
 
+    R = 8
+
+    @jax.jit
+    def fR(meta, words, w, salt):
+        def body(i, acc):
+            m2 = meta.at[31, 0, 0].set(salt + i)
+            slab, wp, dbg, dump = fn(m2, words)
+            return acc + jnp.sum(slab.astype(jnp.uint32) * w,
+                                 dtype=jnp.uint32)
+        return jax.lax.fori_loop(0, R, body, jnp.uint32(0))
+
     m_j, w_j, ww_j = jnp.asarray(meta), jnp.asarray(words), jnp.asarray(w)
     s0, wp = f(m_j, w_j, ww_j, jnp.uint32(0))
     assert np.array_equal(np.asarray(wp).reshape(-1), plan.exp_wp)
@@ -269,13 +293,15 @@ def _timed_streaming_decode(bv, toff, tsucc, reps=5):
     for k in range(5):
         int(triv(jnp.uint32(k)))
     over = (time.perf_counter() - t0) / 5
+    expR = (R * expect) % (1 << 32)
+    int(np.uint32(fR(m_j, w_j, ww_j, jnp.uint32(0))))  # compile
     best = 1e9
     for rep in range(1, reps + 1):
         t0 = time.perf_counter()
-        s, _ = f(m_j, w_j, ww_j, jnp.uint32(rep))
-        assert int(np.uint32(s)) == (expect + rep) % (1 << 32)
+        s = int(np.uint32(fR(m_j, w_j, ww_j, jnp.uint32(rep * R))))
+        assert s == expR
         best = min(best, time.perf_counter() - t0)
-    return max(best - over, 1e-9), plan
+    return max((best - over) / R, 1e-9), plan
 
 
 def config6():

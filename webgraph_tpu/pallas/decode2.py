@@ -404,6 +404,9 @@ class Cfg2:
     unroll: int = 32
     uin: int = 1           # python-unrolled sub-steps per fori iteration
     debug_counters: bool = False
+    greedy: bool = True    # refill queues every trip for active lanes
+    #   (throughput decode); False = flagged alternate-trip cadence
+    #   (latency workloads: batched random access, query2)
 
 
 def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False) -> Cfg2:
@@ -467,21 +470,21 @@ def gather_chunks(buf_ref, idx128, ncols: int):
     return out
 
 
-def place8(vals8, pos8T, width: int):
-    """Scatter an (1024, 8) value group to per-lane 8-aligned offsets of a
+def place8(vals8, pos8T, width: int, k: int = 8):
+    """Scatter an (1024, k) value group to per-lane k-aligned offsets of a
     (1024, width) tile: zero-pad to width, then a log-composed lane roll by
-    8 * pos8 (static shifts + per-lane selects), returning (tile, colmask).
+    k * posT (static shifts + per-lane selects), returning (tile, colmask).
     Used for every sub-128-granularity VMEM update: the caller RMWs a full
     aligned block with the returned mask."""
     B = jnp.concatenate(
-        [vals8, jnp.zeros((LANES, width - 8), I32)], axis=1)
-    nbits = (width // 8).bit_length() - 1
+        [vals8, jnp.zeros((LANES, width - k), I32)], axis=1)
+    nbits = (width // k).bit_length() - 1
     for j in range(nbits):
-        rolled = pltpu.roll(B, 8 << j, 1)
-        B = jnp.where((pos8T >> j) & 1 > 0, rolled, B)
+        rolled = pltpu.roll(B, k << j, 1)
+        B = jnp.where((posT_bit := pos8T >> j) & 1 > 0, rolled, B)
     ci = jax.lax.broadcasted_iota(I32, (LANES, width), 1)
-    s0 = pos8T * 8
-    mask = (ci >= s0) & (ci < s0 + 8)
+    s0 = pos8T * k
+    mask = (ci >= s0) & (ci < s0 + k)
     return B, mask
 
 
@@ -563,6 +566,9 @@ def win_drop(w0, w1, w2, avail, length, on):
 # ----------------------------------------------------------------------
 
 WQ = int(os.environ.get("D2_WQ", "32"))   # word-queue depth (registers)
+AP = int(os.environ.get("D2_AP", "16"))   # append-group depth (emission
+#   bandwidth = 1 arc/sub-step needs the dump cadence (every AP sub-steps)
+#   to match the group depth)
 CQ = int(os.environ.get("D2_CQ", "32"))   # copy-queue depth (registers)
 SQ = 8    # run-boundary / interval-pair queue depth
 
@@ -575,7 +581,7 @@ _FIELDS = (
     "wflag cflag rflag iflag rdlim "
     "xw xc xs2 xo xf xd xa xn "
     "dr0 dr1 dr2 dr3 dr4 dr5 dr6 fb0 fb1 fb2 fb3 fb4 fb5 fb6 "
-    + " ".join(f"a{j}" for j in range(8)) + " "
+    + " ".join(f"a{j}" for j in range(AP)) + " "
     + " ".join(f"s{j}" for j in range(8)) + " "
     + " ".join(f"wq{j}" for j in range(WQ)) + " "
     + " ".join(f"cq{j}" for j in range(CQ)) + " "
@@ -592,6 +598,7 @@ _DUMP_FIELDS = (
 
 def build_kernel2(cfg: Cfg2):
     (outd_c, ref_c, bcnt_c, blk_c, res_c, zeta_k, window, minint) = cfg.skey
+    greedy = _P_GREEDY and cfg.greedy
     if window > 7:
         raise ValueError("decode2 supports window_size <= 7")
     NEED = cfg.need_bits
@@ -950,9 +957,9 @@ def build_kernel2(cfg: Cfg2):
             c_ready = (crem == 0) | (pos_ok & q_ok)
             i_ready = (irem > 0) | (ileft == 0)
             r_ready = (remr == 0) | (rvok > 0)
-            stall_out = (S["wb"] - S["flp"] * 128) >= 240
+            stall_out = (S["wb"] - S["flp"] * 128) >= 256 - AP - 8
             can = (mrg & (em < d) & c_ready & i_ready & r_ready
-                   & (S["ap"] < 8) & ~stall_out)
+                   & (S["ap"] < AP) & ~stall_out)
 
             emit = jnp.minimum(ch, jnp.minimum(ih, rh))
             is_c = can & (ch <= ih) & (ch <= rh)
@@ -960,8 +967,8 @@ def build_kernel2(cfg: Cfg2):
             is_r = can & ~is_c & ~is_i
 
             ap = S["ap"]
-            ab = [S[f"a{j}"] for j in range(8)]
-            for j in range(8):
+            ab = [S[f"a{j}"] for j in range(AP)]
+            for j in range(AP):
                 ab[j] = jnp.where(can & (ap == j), emit, ab[j])
             ap = jnp.where(can, ap + 1, ap)
             wpv = jnp.where(can, S["wp"] + 1, S["wp"])
@@ -1059,8 +1066,9 @@ def build_kernel2(cfg: Cfg2):
                 wflag=wflag.astype(I32), cflag=cflag.astype(I32),
                 rflag=rflag.astype(I32), iflag=iflag.astype(I32),
                 xw=xw, xc=xc, xs2=xs2, xo=xo, xf=xf, xd=xd, xa=xa, xn=xn)
-            for j in range(8):
+            for j in range(AP):
                 out[f"a{j}"] = ab[j]
+            for j in range(8):
                 out[f"s{j}"] = sregs2[j]
             for j in range(7):
                 out[f"dr{j}"] = drs[j]
@@ -1076,7 +1084,7 @@ def build_kernel2(cfg: Cfg2):
             # fetch-serve cadence: word/side fetches on even trips, copy
             # fetches on odd trips (halves the per-trip fetch-body cost);
             # D2_EVERY=1 serves every trip (cadence experiment)
-            always = _P_EVERY or _P_NOCOND or _P_GREEDY
+            always = _P_EVERY or _P_NOCOND or greedy
             even_t = ((trips & 1) == 0) | jnp.bool_(always)
             odd_t = ((trips & 1) == 1) | jnp.bool_(always)
             # fetches are served on the FIRST sub-step of each trip and
@@ -1087,7 +1095,7 @@ def build_kernel2(cfg: Cfg2):
             # ---- word-queue refill (flagged lanes) ----------------------
             def do_wfetch(args):
                 qr, wqb = args
-                if _P_GREEDY:
+                if greedy:
                     need = S["st"] != S_DONE
                 else:
                     need = S["wflag"] > 0
@@ -1160,7 +1168,7 @@ def build_kernel2(cfg: Cfg2):
             def serve_cfetch(S, serve_pred):
               def do_cfetch(args):
                 qr, cqb, cqlim = args
-                if _P_GREEDY:
+                if greedy:
                     need = (S["cflag"] > 0) | (
                         (S["st"] == S_MRG) & (S["crem"] > 0)
                         & (S["kld"] == 1))
@@ -1177,7 +1185,7 @@ def build_kernel2(cfg: Cfg2):
                 #   slab  — anything older (rare; ~0.7% of copied arcs on
                 #           cnr-2000 reach past the ring)
                 wbT = flat(S["wb"]).T
-                use_mid = idxQ >= (wbT - 248)
+                use_mid = idxQ >= (wbT - (256 - AP))
                 rloT = flat((S["flp"] - 8) * 128).T
                 use_ring = ~use_mid & (idxQ >= rloT)
                 midv = gather_chunks(midt_ref, idxQ & 255, 256)
@@ -1255,38 +1263,55 @@ def build_kernel2(cfg: Cfg2):
 
             def inner(i, carry):
                 S2 = unpack(carry)
-                for _u in range(UIN):
-                    S2 = substep(S2)
-                g8 = ((i + 1) * UIN & 7) == 0
 
-                @pl.when(g8 & (not _P_NOTE))
-                def _():
-                    abM = jnp.concatenate(
-                        [flat(S2[f"a{j}"]) for j in range(8)], 0)
-                    abT = abM.T
-                    pos8 = flat((S2["wb"] >> 3) & 31).T
-                    tile, mask = place8(abT, pos8, 256)
-                    midt_ref[:, :] = jnp.where(mask, tile, midt_ref[:, :])
+                def group_dump(S2, g8):
+                    # write-through of the AP-deep append group + side dump.
+                    # The dump cadence MUST equal the group depth or the
+                    # ap<AP emission gate caps arc bandwidth below
+                    # 1/sub-step (the r5 idle-no-action counter caught
+                    # exactly that: an 8-deep group dumped once per 16
+                    # sub-steps halved every emission-bound lane)
+                    @pl.when(jnp.bool_(g8) & (not _P_NOTE))
+                    def _():
+                        abM = jnp.concatenate(
+                            [flat(S2[f"a{j}"]) for j in range(AP)], 0)
+                        abT = abM.T
+                        posA = flat((S2["wb"] // AP) & (256 // AP - 1)).T
+                        tile, mask = place8(abT, posA, 256, AP)
+                        midt_ref[:, :] = jnp.where(mask, tile,
+                                                   midt_ref[:, :])
 
-                sfull = (S2["sp"] - S2["sdump"]) == 8
+                    sfull = (S2["sp"] - S2["sdump"]) == 8
 
-                @pl.when(g8 & (_any(sfull.astype(I32)) > 0) & (not _P_NOTE))
-                def _():
-                    sM = jnp.concatenate(
-                        [flat(S2[f"s{j}"]) for j in range(8)], 0)
-                    sT = sM.T
-                    posS = flat(S2["sdump"] >> 3).T
-                    sfT = flat(sfull.astype(I32)).T > 0
-                    tile, mask = place8(sT, posS, SB)
-                    side_ref[:, :] = jnp.where(sfT & mask, tile,
-                                               side_ref[:, :])
+                    @pl.when(jnp.bool_(g8) & (_any(sfull.astype(I32)) > 0)
+                             & (not _P_NOTE))
+                    def _():
+                        sM = jnp.concatenate(
+                            [flat(S2[f"s{j}"]) for j in range(8)], 0)
+                        sT = sM.T
+                        posS = flat(S2["sdump"] >> 3).T
+                        sfT = flat(sfull.astype(I32)).T > 0
+                        tile, mask = place8(sT, posS, SB)
+                        side_ref[:, :] = jnp.where(sfT & mask, tile,
+                                                   side_ref[:, :])
 
-                full = g8 & (S2["ap"] == 8)
-                S2["wb"] = jnp.where(full, S2["wb"] + 8, S2["wb"])
-                S2["ap"] = jnp.where(full, 0, S2["ap"])
-                S2["rdlim"] = jnp.where(g8, S2["wp"], S2["rdlim"])
-                S2["sdump"] = jnp.where(g8 & sfull, S2["sdump"] + 8,
-                                        S2["sdump"])
+                    full = g8 & (S2["ap"] == AP)
+                    S2["wb"] = jnp.where(full, S2["wb"] + AP, S2["wb"])
+                    S2["ap"] = jnp.where(full, 0, S2["ap"])
+                    S2["rdlim"] = jnp.where(g8, S2["wp"], S2["rdlim"])
+                    S2["sdump"] = jnp.where(g8 & sfull, S2["sdump"] + 8,
+                                            S2["sdump"])
+                    return S2
+
+                if UIN >= AP:
+                    for _g in range(UIN // AP):
+                        for _u in range(AP):
+                            S2 = substep(S2)
+                        S2 = group_dump(S2, True)
+                else:
+                    for _u in range(UIN):
+                        S2 = substep(S2)
+                    S2 = group_dump(S2, ((i + 1) * UIN & (AP - 1)) == 0)
                 return tuple(S2[f] for f in _FIELDS)
 
             for _blk in range(1 if _P_SINGLE else 2):
@@ -1347,10 +1372,10 @@ def build_kernel2(cfg: Cfg2):
         S = unpack(final)
 
         # ---- final drain: remaining midT blocks + partial block ---------
-        abM = jnp.concatenate([flat(S[f"a{j}"]) for j in range(8)], 0)
+        abM = jnp.concatenate([flat(S[f"a{j}"]) for j in range(AP)], 0)
         abT = abM.T
-        pos8 = flat((S["wb"] >> 3) & 31).T
-        tile, mask = place8(abT, pos8, 256)
+        posA = flat((S["wb"] // AP) & (256 // AP - 1)).T
+        tile, mask = place8(abT, posA, 256, AP)
         midt_ref[:, :] = jnp.where(mask, tile, midt_ref[:, :])
         lo = midt_ref[:, 0:128]
         hi = midt_ref[:, 128:256]
