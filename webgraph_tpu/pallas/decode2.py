@@ -566,7 +566,7 @@ def win_drop(w0, w1, w2, avail, length, on):
 # ----------------------------------------------------------------------
 
 WQ = int(os.environ.get("D2_WQ", "32"))   # word-queue depth (registers)
-AP = int(os.environ.get("D2_AP", "16"))   # append-group depth (emission
+AP = int(os.environ.get("D2_AP", "8"))    # append-group depth (emission
 #   bandwidth = 1 arc/sub-step needs the dump cadence (every AP sub-steps)
 #   to match the group depth)
 CQ = int(os.environ.get("D2_CQ", "32"))   # copy-queue depth (registers)
@@ -1144,6 +1144,10 @@ def build_kernel2(cfg: Cfg2):
 
             qrr = tuple(S[f"rq{j}"] for j in range(SQ))
             qri = tuple(S[f"iq{j}"] for j in range(SQ))
+            # side fetches are RARE (nodes with > 8 run/interval entries;
+            # zero side spills at all on cnr-2000): serve on demand, not on
+            # cadence — the two sideq_read gathers cost real time per trip
+            s_need = (_any(S["rflag"]) > 0) | (_any(S["iflag"]) > 0)
             if _P_NOFETCH or _P_NOS:
                 rqb, rqn, iqb, iqn = (S["rqb"], S["rqn"], S["iqb"],
                                       S["iqn"])
@@ -1152,7 +1156,7 @@ def build_kernel2(cfg: Cfg2):
                     (qrr, qri, S["rqb"], S["rqn"], S["iqb"], S["iqn"]))
             else:
                 qrr, qri, rqb, rqn, iqb, iqn = jax.lax.cond(
-                    even_t, do_sfetch, lambda a: a,
+                    even_t & s_need, do_sfetch, lambda a: a,
                     (qrr, qri, S["rqb"], S["rqn"], S["iqb"], S["iqn"]))
             if cfg.debug_counters:
                 smem_ref[5] = smem_ref[5] + (
@@ -1329,18 +1333,24 @@ def build_kernel2(cfg: Cfg2):
             # left arc-heavy lanes (58 blocks) flush-starved behind light
             # ones (12% of all lane-substeps were out-backpressure stalls,
     # r5 stall counters)
-            FB = 4
+            # served block values: a band from the global MINIMUM pending
+            # block plus the two MAXIMUM pending values — arc-heavy lanes
+            # (58 blocks on cnr-2000) live at the high end and were the
+    # kernel's critical path once emission ran at full bandwidth
+            # (16% of lane-substeps were flush backpressure, r5 counters)
             pnd = (S["wb"] >> 7) > S["flp"]
             bmin = jnp.min(jnp.where(pnd, S["flp"], INF))
+            bmax = jnp.max(jnp.where(pnd, S["flp"], -1))
             flpv = S["flp"]
-            fl_sel = [pnd & (flpv == bmin + j) for j in range(FB)]
+            vals = [bmin + j for j in range(6)] + [bmax - 1, bmax]
+            fl_sel = [pnd & (flpv == v) for v in vals]
 
             @pl.when((_any(pnd) > 0) & (not _P_NOTE))
             def _():
                 lo = midt_ref[:, 0:128]
                 hi = midt_ref[:, 128:256]
-                for j in range(FB):
-                    B = jnp.clip(bmin + j, 0, SLABW // 128 - 1)
+                for j, v in enumerate(vals):
+                    B = jnp.clip(v, 0, SLABW // 128 - 1)
                     src = jnp.where((B & 1) == 1, hi, lo)
                     selT = flat(fl_sel[j].astype(I32)).T > 0
                     cur = slab_ref[:, pl.ds(B * 128, 128)]
@@ -1350,8 +1360,12 @@ def build_kernel2(cfg: Cfg2):
                     curR = ring_ref[:, pl.ds(rc, 128)]
                     ring_ref[:, pl.ds(rc, 128)] = jnp.where(selT, src, curR)
 
-            for j in range(FB):
-                S["flp"] = jnp.where(fl_sel[j], S["flp"] + 1, S["flp"])
+            # a lane's flp matches at most one bmin+j, but may ALSO match
+            # a bmax value: advance exactly once per served lane
+            served = fl_sel[0]
+            for m_ in fl_sel[1:]:
+                served = served | m_
+            S["flp"] = jnp.where(served, S["flp"] + 1, S["flp"])
 
             if cfg.debug_counters:
                 smem_ref[0] = smem_ref[0] + 1
