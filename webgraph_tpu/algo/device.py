@@ -64,15 +64,17 @@ class DeviceCSR:
         return cls(offsets, succ, g.num_nodes())
 
 
-def bfs_distances(csr: DeviceCSR, sources, max_levels: int | None = None):
-    """Distances from `sources` (int or 1-D list) — min over sources, i.e.
-    one BFS from the source set.  Returns int32[n], -1 for unreachable.
-
-    Level-synchronous arc-parallel propagation
-    (ParallelBreadthFirstVisit.java:149-181)."""
+def _bfs_program(csr: DeviceCSR, cap: int, k: int):
+    """Compiled BFS program for (csr, cap, source-count), cached on the
+    DeviceCSR — a fresh jit per call would RECOMPILE per invocation
+    (30-90 s on a remote-compile backend; SumSweep runs ~100 sweeps)."""
+    key = (cap, k)
+    cache = getattr(csr, "_bfs_cache", None)
+    if cache is None:
+        cache = csr._bfs_cache = {}
+    if key in cache:
+        return cache[key]
     n, src, dst = csr.n, csr.src, csr.dst
-    sources = jnp.atleast_1d(jnp.asarray(sources, dtype=I32))
-    cap = int(max_levels if max_levels is not None else n)
 
     @jax.jit
     def run(sources):
@@ -91,9 +93,25 @@ def bfs_distances(csr: DeviceCSR, sources, max_levels: int | None = None):
             dist = jnp.where(newf, level + 1, dist)
             return dist, newf.astype(I32), level + 1
 
-        dist, _, _ = jax.lax.while_loop(cond, body, (dist, front, jnp.int32(0)))
+        dist, _, _ = jax.lax.while_loop(cond, body,
+                                        (dist, front, jnp.int32(0)))
         return dist
 
+    cache[key] = run
+    return run
+
+
+def bfs_distances(csr: DeviceCSR, sources, max_levels: int | None = None):
+    """Distances from `sources` (int or 1-D list) — min over sources, i.e.
+    one BFS from the source set.  Returns int32[n], -1 for unreachable.
+
+    Level-synchronous arc-parallel propagation
+    (ParallelBreadthFirstVisit.java:149-181).  The compiled program is
+    cached per (graph, cap, source-count): repeated sweeps (SumSweep,
+    eccentricities) dispatch without re-tracing."""
+    sources = jnp.atleast_1d(jnp.asarray(sources, dtype=I32))
+    cap = int(max_levels if max_levels is not None else csr.n)
+    run = _bfs_program(csr, cap, int(sources.shape[0]))
     return run(sources)
 
 

@@ -393,6 +393,11 @@ def plan_lanes(g, scan, lanes: int = LANES, slab_cap: int = 8192,
 # ----------------------------------------------------------------------
 
 
+AP = int(os.environ.get("D2_AP", "8"))    # append-group depth (emission
+#   bandwidth = 1 arc/sub-step needs the dump cadence (every AP sub-steps)
+#   to match the group depth)
+
+
 @dataclass(frozen=True)
 class Cfg2:
     skey: tuple            # (outd, ref, bcnt, blk, res, zeta_k, window, minint)
@@ -407,13 +412,24 @@ class Cfg2:
     greedy: bool = True    # refill queues every trip for active lanes
     #   (throughput decode); False = flagged alternate-trip cadence
     #   (latency workloads: batched random access, query2)
+    ap: int = AP           # append-group depth: 8 suits copy-heavy webgraph
+    #   structure (copies surface in midT sooner), 16 suits
+    #   emission-dominated balanced graphs (half the dump events)
 
 
-def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False) -> Cfg2:
+def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False,
+              scan=None) -> Cfg2:
     s = g.settings
     n = plan.n
     vbits = max(int(max(n, 2)).bit_length() + 1, 2)
     need = min(64, 2 * vbits + 1)
+    # append-group depth by structure: 8 for copy-heavy graphs (copies
+    # surface in midT sooner), 16 for emission-dominated balanced graphs
+    # (half the dump events; +27% on er-200k, r5 measurement)
+    ap = AP
+    if "D2_AP" not in os.environ and scan is not None and plan.m > 0:
+        copied_frac = float(scan.copied.sum()) / max(plan.m, 1)
+        ap = 8 if copied_frac > 0.15 else 16
     U = int(os.environ.get("D2_U", "16"))
     cap = 4 * (plan.max_steps // U + 1) + 2048
     if _P_CAP:
@@ -438,6 +454,7 @@ def make_cfg2(g, plan: LanePlan, *, debug_counters: bool = False) -> Cfg2:
         unroll=U,
         uin=uin,
         debug_counters=debug_counters,
+        ap=ap,
     )
 
 
@@ -566,28 +583,29 @@ def win_drop(w0, w1, w2, avail, length, on):
 # ----------------------------------------------------------------------
 
 WQ = int(os.environ.get("D2_WQ", "32"))   # word-queue depth (registers)
-AP = int(os.environ.get("D2_AP", "8"))    # append-group depth (emission
-#   bandwidth = 1 arc/sub-step needs the dump cadence (every AP sub-steps)
-#   to match the group depth)
 CQ = int(os.environ.get("D2_CQ", "32"))   # copy-queue depth (registers)
 SQ = 8    # run-boundary / interval-pair queue depth
 
 # loop-carry field names, in order (all (8,128) int32 unless noted)
-_FIELDS = (
-    "w0 w1 w2 avail nw st loc gid d rf dp pb bcleft bctot cum copied "
-    "iarcs icnt il lastleft ptop firsti sp sdump em crem cp ri kst ken "
-    "kld iidx ileft icur irem rv rvlast rvok remr rdleft firstr "
-    "wp wb ap flp wqb cqb cqlim rqb rqn iqb iqn "
-    "wflag cflag rflag iflag rdlim "
-    "xw xc xs2 xo xf xd xa xn "
-    "dr0 dr1 dr2 dr3 dr4 dr5 dr6 fb0 fb1 fb2 fb3 fb4 fb5 fb6 "
-    + " ".join(f"a{j}" for j in range(AP)) + " "
-    + " ".join(f"s{j}" for j in range(8)) + " "
-    + " ".join(f"wq{j}" for j in range(WQ)) + " "
-    + " ".join(f"cq{j}" for j in range(CQ)) + " "
-    + " ".join(f"rq{j}" for j in range(SQ)) + " "
-    + " ".join(f"iq{j}" for j in range(SQ))
-).split()
+def _fields_for(ap: int):
+    return (
+        "w0 w1 w2 avail nw st loc gid d rf dp pb bcleft bctot cum copied "
+        "iarcs icnt il lastleft ptop firsti sp sdump em crem cp ri kst ken "
+        "kld iidx ileft icur irem rv rvlast rvok remr rdleft firstr "
+        "wp wb ap flp wqb cqb cqlim rqb rqn iqb iqn "
+        "wflag cflag rflag iflag rdlim "
+        "xw xc xs2 xo xf xd xa xn "
+        "dr0 dr1 dr2 dr3 dr4 dr5 dr6 fb0 fb1 fb2 fb3 fb4 fb5 fb6 "
+        + " ".join(f"a{j}" for j in range(ap)) + " "
+        + " ".join(f"s{j}" for j in range(8)) + " "
+        + " ".join(f"wq{j}" for j in range(WQ)) + " "
+        + " ".join(f"cq{j}" for j in range(CQ)) + " "
+        + " ".join(f"rq{j}" for j in range(SQ)) + " "
+        + " ".join(f"iq{j}" for j in range(SQ))
+    ).split()
+
+
+_FIELDS = _fields_for(AP)
 
 
 _DUMP_FIELDS = (
@@ -599,6 +617,8 @@ _DUMP_FIELDS = (
 def build_kernel2(cfg: Cfg2):
     (outd_c, ref_c, bcnt_c, blk_c, res_c, zeta_k, window, minint) = cfg.skey
     greedy = _P_GREEDY and cfg.greedy
+    AP = cfg.ap
+    _FIELDS = _fields_for(AP)
     if window > 7:
         raise ValueError("decode2 supports window_size <= 7")
     NEED = cfg.need_bits
@@ -1516,7 +1536,7 @@ def prepare2(g, *, slab_cap: int = 8192, debug_counters: bool = False):
 
     scan = scan_structure(g)
     plan = plan_lanes(g, scan, slab_cap=slab_cap)
-    cfg = make_cfg2(g, plan, debug_counters=debug_counters)
+    cfg = make_cfg2(g, plan, debug_counters=debug_counters, scan=scan)
     meta, words_lane = pack2(g, plan)
     return cfg, plan, meta, words_lane
 
@@ -1599,7 +1619,7 @@ def decode_to_csr(g, *, interpret: bool | None = None,
     else:
         tiles = plan_tiles(g, scan, slab_cap=slab_cap, tile_arcs=tile_arcs)
     worst = max(tiles, key=lambda p: p.max_steps)
-    cfg = make_cfg2(g, worst)
+    cfg = make_cfg2(g, worst, scan=scan)
     fn = _compiled2(cfg, bool(interpret))
 
     n = g.num_nodes()

@@ -198,7 +198,7 @@ def decode_to_csr_sharded_v6(g, mesh: Mesh):
         tiles[-1].lw = tiles[0].lw
         tiles[-1].sb = tiles[0].sb
     worst = max(tiles, key=lambda p: p.max_steps)
-    cfg = D2.make_cfg2(g, worst)
+    cfg = D2.make_cfg2(g, worst, scan=scan)
     interpret = jax.default_backend() == "cpu"
     fn = D2._compiled2(cfg, interpret)
 
