@@ -164,11 +164,16 @@ def cmd_speedtest(args):
     g = _load(args.source)
     out = {}
     if args.random > 0:
-        out["random_access"] = SpeedTest.random_access(g, args.random, args.seed)
+        if args.batched:
+            out["random_access"] = SpeedTest.random_access_batched(
+                g, args.random, args.seed)
+        else:
+            out["random_access"] = SpeedTest.random_access(
+                g, args.random, args.seed)
     elif args.adjacency > 0:
         out["adjacency"] = SpeedTest.adjacency(g, args.adjacency, args.seed)
     else:
-        out["sequential"] = SpeedTest.sequential(g)
+        out["sequential"] = SpeedTest.sequential(g, backend=args.backend)
     print(json.dumps(out, indent=2))
 
 
@@ -249,6 +254,12 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("-r", "--random", type=int, default=0)
     st.add_argument("-a", "--adjacency", type=int, default=0)
     st.add_argument("--seed", type=int, default=0)
+    st.add_argument("--backend", default=None,
+                    help="decode backend: device/native/numpy/scalar "
+                         "(default: auto — device on an accelerator host)")
+    st.add_argument("--batched", action="store_true",
+                    help="batched random access through the streaming "
+                         "kernel (1024 queries per invocation)")
     st.set_defaults(func=cmd_speedtest)
 
     a = sub.add_parser("ascii", help="export to ASCII format")

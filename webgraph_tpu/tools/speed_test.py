@@ -18,18 +18,57 @@ REPEAT = 10
 
 class SpeedTest:
     @staticmethod
-    def sequential(graph: ImmutableGraph, warmup: int = WARMUP, repeat: int = REPEAT) -> dict:
-        """Full sequential enumeration; ns/link."""
+    def sequential(graph: ImmutableGraph, warmup: int = WARMUP,
+                   repeat: int = REPEAT, backend: str | None = None) -> dict:
+        """Full sequential enumeration; ns/link.  ``backend`` selects the
+        decode path (device/native/numpy/scalar — BVGraph.to_csr dispatch;
+        default auto: the streaming kernel on an accelerator host)."""
         m = graph.num_arcs()
         times = []
         for rep in range(warmup + repeat):
             t0 = time.perf_counter()
-            offsets, succ = graph.to_csr()
+            try:
+                offsets, succ = graph.to_csr(backend=backend)
+            except TypeError:  # formats without backend dispatch
+                offsets, succ = graph.to_csr()
             dt = time.perf_counter() - t0
             if rep >= warmup:
                 times.append(dt)
         best = min(times)
-        return {"seconds": best, "ns_per_link": 1e9 * best / max(m, 1), "links": m}
+        return {"seconds": best, "ns_per_link": 1e9 * best / max(m, 1),
+                "links": m, "backend": backend or "auto"}
+
+    @staticmethod
+    def random_access_batched(graph, samples: int, seed: int = 0,
+                              warmup: int = 1, repeat: int = 3) -> dict:
+        """Batched random access through the streaming kernel
+        (pallas/query2.py): up to 1024 successors(x) queries per kernel
+        invocation — the device analog of the reference's per-node
+        successors() loop (SpeedTest.java:90-122)."""
+        from webgraph_tpu.pallas.query2 import QueryPlanner
+
+        rng = XoRoShiRo128PlusRandom(seed)
+        n = graph.num_nodes()
+        nodes = np.asarray([rng.next_int(n) for _ in range(samples)])
+        qp = QueryPlanner(graph)
+        times = []
+        links = 0
+        for rep in range(warmup + repeat):
+            t0 = time.perf_counter()
+            links = 0
+            for base in range(0, samples, 1024):
+                res = qp.successors_batch(nodes[base : base + 1024])
+                links += sum(len(r) for r in res)
+            dt = time.perf_counter() - t0
+            if rep >= warmup:
+                times.append(dt)
+        best = min(times)
+        return {
+            "seconds": best,
+            "ns_per_node": 1e9 * best / max(samples, 1),
+            "links": links,
+            "batched": True,
+        }
 
     @staticmethod
     def random_access(graph: ImmutableGraph, samples: int, seed: int = 0, warmup: int = WARMUP, repeat: int = REPEAT) -> dict:
