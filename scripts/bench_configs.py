@@ -382,6 +382,7 @@ def config7():
 
     bv, g = load_cnr()
     n, m = g.num_nodes(), g.num_arcs()
+    print("config7: graph loaded", flush=True)
     csr = DeviceCSR.from_graph(g)
     rows = []
 
@@ -389,6 +390,7 @@ def config7():
     sources = [0, 17, 1000, 77, 12345, 4242]
     hostsum = {s: int(np.int64(hbfs.bfs_distances(g, s).sum()) & 0xFFFFFFFF)
                for s in sources}
+    print("config7: host BFS truths done", flush=True)
     ncap = 256
     src_j, dst_j = csr.src, csr.dst
 
@@ -413,6 +415,7 @@ def config7():
 
     # verify each source's distance sum, then time (distinct source per rep)
     f = jax.jit(bfs_run)
+    print("config7: compiling device BFS...", flush=True)
     for i, s in enumerate(sources):
         assert int(np.uint32(f(i))) == hostsum[s] % (1 << 32), f"src {s}"
     over = _dispatch_overhead()
@@ -429,6 +432,7 @@ def config7():
                          "BFS distance sums for 6 sources"})
 
     # --- 64-source NF batch (fori inside jit) --------------------------
+    print("config7: device BFS timed", flush=True)
     run_nf = make_nf_batches(csr, ncap)
     srcs0 = np.arange(64)
     hd = [hbfs.bfs_distances(g, s) for s in srcs0]
@@ -437,15 +441,15 @@ def config7():
         reach = dvec[dvec >= 0]
         bc = np.bincount(reach, minlength=ncap + 1)[: ncap + 1]
         exp_counts += np.cumsum(bc)
-    counts, _ = run_nf(jnp.int32(0), 1)
+    nb_timed = 4
+    counts, _ = run_nf(jnp.int32(0), nb_timed)  # ONE compiled shape
     got = np.asarray(counts[0], dtype=np.int64)
     assert np.array_equal(got, exp_counts), "NF batch != 64 host BFS"
     over = _dispatch_overhead()
     best = 1e9
-    nb_timed = 4
     for r in range(3):
         t0 = time.perf_counter()
-        c, _ = run_nf(jnp.int32(r + 1), nb_timed)   # distinct batches/rep
+        c, _ = run_nf(jnp.int32((r + 1) * nb_timed), nb_timed)
         np.asarray(c[0, 0])
         best = min(best, time.perf_counter() - t0)
     t_nf = max((best - over) / nb_timed, 1e-9)
@@ -458,8 +462,9 @@ def config7():
                          "host BFS"})
 
     # --- geometric-centralities batch ----------------------------------
+    print("config7: NF batch timed", flush=True)
     run_geo = make_geometric_batches(csr, ncap, 0.5)
-    r0, d0, h0, e0 = run_geo(jnp.int32(0), 1)
+    r0, d0, h0, e0 = run_geo(jnp.int32(0), nb_timed)  # ONE compiled shape
     exp_reach = np.array([int((dv > 0).sum()) for dv in hd])
     exp_sumd = np.array([int(dv[dv > 0].sum()) for dv in hd])
     assert np.array_equal(np.asarray(r0)[:64], exp_reach)
@@ -468,7 +473,7 @@ def config7():
     best = 1e9
     for r in range(3):
         t0 = time.perf_counter()
-        rr, dd, hh, ee = run_geo(jnp.int32(r + 1), nb_timed)
+        rr, dd, hh, ee = run_geo(jnp.int32((r + 1) * nb_timed), nb_timed)
         np.asarray(rr[0])
         best = min(best, time.perf_counter() - t0)
     t_geo = max((best - over) / nb_timed, 1e-9)
@@ -482,6 +487,7 @@ def config7():
     from webgraph_tpu.algo.sumsweep import (
         OutputLevel, SumSweepDirectedDiameterRadius)
 
+    print("config7: geo batch timed; SumSweep...", flush=True)
     t0 = time.perf_counter()
     ss = SumSweepDirectedDiameterRadius(g, OutputLevel.DIAMETER,
                                         use_device=True)

@@ -90,3 +90,27 @@ def test_ef_device_skip_to_batch(tmp_path):
     # scalar oracle spot checks
     for j in range(0, Q, 37):
         assert int(dev[j]) == ef.skip_to(int(xs[j]), int(bounds[j]))
+
+
+def test_ef_device_skip_to_long_gaps(tmp_path):
+    """Unary gaps > 32 in the upper bits (hub-like lists whose first
+    successor is far away) — regression for the round-4 window-miss bug
+    that dropped 32 zeros per missed window."""
+    from webgraph_tpu.formats.efgraph_jax import skip_to_batch_device
+    from webgraph_tpu.graph.csr import CSRGraph
+
+    lists = [[] for _ in range(2000)]
+    lists[0] = [1500, 1501, 1999]      # first gap >> 32 zeros
+    lists[5] = [1900]
+    lists[7] = list(range(1990, 2000))
+    g = CSRGraph.from_lists(lists)
+    base = os.path.join(tmp_path, "ef")
+    EFGraph.store(g, base)
+    ef = EFGraph.load(base)
+    xs = np.array([0, 0, 0, 5, 5, 7, 7, 3])
+    bounds = np.array([0, 1501, 1600, 0, 1901, 1995, 0, 10])
+    host = ef.skip_to_batch(xs, bounds)
+    dev = skip_to_batch_device(ef, xs, bounds)
+    np.testing.assert_array_equal(dev, host)
+    for j in range(len(xs)):
+        assert int(dev[j]) == ef.skip_to(int(xs[j]), int(bounds[j]))

@@ -76,7 +76,11 @@ def _unary_step(words, pos, active):
         w = _bits_at(words, pos, jnp.full_like(pos, 32))
         tz = _ctz32(w)
         hit = (w != 0) & (pend > 0)
-        out = jnp.where(hit, out + tz, out)
+        # a missed (all-zero) window consumes 32 ZEROS: count them (a
+        # round-4 latent bug dropped them — toy fixtures never had unary
+        # gaps > 32, cnr-2000 hub lists do)
+        out = jnp.where(hit, out + tz,
+                        jnp.where(pend > 0, out + 32, out))
         pos = jnp.where(hit, pos + tz + 1,
                         jnp.where(pend > 0, pos + 32, pos))
         pend = jnp.where(hit, 0, pend)
