@@ -116,17 +116,32 @@ def bfs_distances(csr: DeviceCSR, sources, max_levels: int | None = None):
 
 
 def _seg_or_scan(flags, seg_start):
-    """Segmented OR over a uint32 (or uint64-as-2xuint32) value array:
-    within each segment (seg_start marks the first element) the result at a
-    segment's last position is the OR of the whole segment."""
+    """Segmented OR over a uint32 value array: within each segment
+    (seg_start marks the first element) the result at a segment's last
+    position is the OR of the whole segment.
 
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        v = jnp.where(fb, vb, va | vb)
-        return fa | fb, v
+    Hillis-Steele doubling inside a fori_loop (log2(m) iterations of ONE
+    compiled body) — `lax.associative_scan` unrolls ~2*log2(m) stages over
+    the full array and its compile blew past 15 minutes on the remote
+    Mosaic/XLA service for m=3.2M (r5 finding); this form compiles in
+    seconds and has the same O(m log m) runtime."""
+    m = flags.shape[0]
+    steps = max(int(m - 1).bit_length(), 1)
+    pos = jnp.arange(m, dtype=jnp.int32)
 
-    return jax.lax.associative_scan(comb, (seg_start, flags))[1]
+    def body(i, st):
+        f, v = st
+        sh = jnp.int32(1) << i
+        pv = jnp.roll(v, sh)
+        pf = jnp.roll(f, sh)
+        valid = pos >= sh
+        v2 = jnp.where((~f) & valid, v | pv, v)
+        f2 = f | (pf & valid)
+        return f2, v2
+
+    _, v = jax.lax.fori_loop(0, steps, body,
+                             (seg_start, flags))
+    return v
 
 
 def nf64(csr: DeviceCSR, sources, max_iters: int | None = None):
